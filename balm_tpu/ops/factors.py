@@ -1,0 +1,345 @@
+"""Plane-factor evaluation: residual, gradient, and analytic Hessian.
+
+TPU-native re-design of the reference's production evaluator
+`VOX_HESS::left_evaluate_acc2` (src/benchmark/bavoxel.hpp:304-426) and
+`evaluate_only_residual` (bavoxel.hpp:428-470).
+
+Math (BALM2 paper / bavoxel.hpp): each plane factor holds per-scan cluster
+moments C_i (body frame) and an optional marginalized moment C_fix (world
+frame).  With pose matrices T_i the world-frame plane moment is
+
+    Csum = C_fix + sum_i T_i C_i T_i^T ,    N = Csum[3,3]
+
+and the cost is coe * lambda_0 of cov = Csum[:3,:3]/N - vbar vbar^T.  The
+gradient and the full second-order Hessian w.r.t. LEFT pose perturbations
+T_i <- Exp(eps_i) T_i have closed forms built from the eigenvectors u_k and
+per-(plane, pose) 6-vectors.
+
+Key structural observation exploited here (not in the reference): all
+pose-pair (i, j) Hessian blocks are sums of OUTER PRODUCTS of per-(plane,
+pose) 6-vectors
+
+    H += sum_g [ -w_a(g) a_gi a_gj^T  -  sum_{k=1,2} w_k(g) b_gki b_gkj^T ]
+
+plus block-diagonal corrections.  Stacking the scaled vectors into a
+(3G, 6W) matrix turns the reference's O(planes * W^2) scalar loop
+(bavoxel.hpp:397-418, its dominant cost) into a single (6W x 3G)(3G x 6W)
+matmul on the MXU, and the 4-thread assembly + join (bavoxel.hpp:1025-1059)
+into an XLA reduction that shards over the plane axis.
+
+A plane with coe == 0 or N == 0 is padding and contributes exactly zero.
+
+f32 conditioning: pass `centers` (G, 3) ~ plane centroids to evaluate each
+plane in a frame shifted by -center (cov is translation invariant), then the
+per-plane gradients/Hessians are mapped back through the SE(3) adjoint
+(ops/lie.py: adjoint_translation_*).  In f64 this is a no-op to machine
+precision; in f32 it avoids the catastrophic cancellation of P/N - vbar^2.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import lie
+from . import smallmat as sm
+from .eigh3 import eigh3, eigvals3
+
+
+class PlaneFactors(NamedTuple):
+    """Padded batch of plane factors (a pytree).
+
+    C:       (G, W, 4, 4) body-frame cluster moments per (plane, scan);
+             all-zero where a scan does not observe the plane.  May be
+             stored recentered about per-cluster body centroids (see
+             body_centers / recenter_bodies).
+    Cfix:    (G, 4, 4) marginalized world-frame moments (zeros if none).
+    coe:     (G,) factor weights (reference bavoxel.hpp:39-44: total point
+             count; 0 marks padding).
+    centers: (G, 3) approximate world-frame plane centers used only for
+             numerical conditioning (zeros disable the shift).
+    body_centers: (G, W, 3) per-cluster body-frame centroids that were
+             subtracted from C.  The world moment is invariantly
+             T_i C_i T_i^T = (T_i B_gi) C~_gi (T_i B_gi)^T with B = shift
+             by +body_center, so the evaluator composes the offset into
+             the per-(plane, scan) pose.  Zeros = raw moments.
+    """
+
+    C: jnp.ndarray
+    Cfix: jnp.ndarray
+    coe: jnp.ndarray
+    centers: jnp.ndarray
+    body_centers: jnp.ndarray
+
+    @classmethod
+    def create(cls, C, Cfix=None, coe=None, centers=None, body_centers=None):
+        G, W = C.shape[:2]
+        dt = C.dtype
+        if Cfix is None:
+            Cfix = jnp.zeros((G, 4, 4), dt)
+        if coe is None:
+            coe = jnp.sum(C[..., 3, 3], axis=-1)
+        if centers is None:
+            centers = jnp.zeros((G, 3), dt)
+        if body_centers is None:
+            body_centers = jnp.zeros((G, W, 3), dt)
+        return cls(C=C, Cfix=Cfix, coe=coe, centers=centers,
+                   body_centers=body_centers)
+
+    def astype(self, dtype):
+        return PlaneFactors(*[x.astype(dtype) for x in self])
+
+    @property
+    def num_planes(self):
+        return self.C.shape[0]
+
+    @property
+    def window(self):
+        return self.C.shape[1]
+
+    def observes(self):
+        """(G, W) bool: scan i contributes to plane g."""
+        return self.C[..., 3, 3] > 0.5
+
+    def planes_per_pose(self):
+        """(W,) number of valid planes observed by each pose
+        (reference degeneracy guard, bavoxel.hpp:1071-1078)."""
+        valid = (self.coe > 0)[:, None]
+        return jnp.sum(self.observes() & valid, axis=0)
+
+
+def recenter_bodies(f: PlaneFactors) -> PlaneFactors:
+    """Recenter every (plane, scan) body moment about its own centroid.
+
+    Must run in float64 BEFORE casting to float32: the subtraction
+    P - v v^T / N is exactly the cancellation the fast path must avoid
+    (body-frame lidar points sit up to ~100 m from the sensor, so raw P
+    entries are ~range^2 * N while the plane covariance is ~voxel^2).
+    With recentered moments plus the world `centers` shift, every product
+    in the centered evaluator stays O(voxel extent).
+
+    Works on numpy OR jax arrays in-kind — numpy inputs are processed with
+    numpy so the math stays f64 even when jax x64 mode is off (jnp would
+    silently truncate).
+    """
+    import numpy as np
+
+    xp = np if isinstance(f.C, np.ndarray) else jnp
+    N = f.C[..., 3, 3]
+    Ns = xp.where(N > 0.5, N, 1.0)
+    v = f.C[..., :3, 3]
+    b = v / Ns[..., None]                                  # (G, W, 3)
+    # with b the exact centroid: P' = P - v v^T / N, v' = 0
+    P2 = f.C[..., :3, :3] - v[..., :, None] * v[..., None, :] / Ns[..., None, None]
+    zero3 = xp.zeros_like(v)
+    top = xp.concatenate([P2, zero3[..., :, None]], axis=-1)
+    bot = xp.concatenate(
+        [zero3[..., None, :], N[..., None, None]], axis=-1
+    )
+    Cc = xp.concatenate([top, bot], axis=-2)
+    return f._replace(C=Cc, body_centers=f.body_centers + b)
+
+
+def _shifted_poses(T, f: PlaneFactors):
+    """(T_i composed with the body offset, then world-shifted by -c_g):
+    rotation R_i, translation R_i b_gi + t_i - c_g -> (G, W, 4, 4)."""
+    G = f.centers.shape[0]
+    W = T.shape[0]
+    t_new = (
+        sm.matvec(T[None, :, :3, :3], f.body_centers)
+        + T[None, :, :3, 3]
+        - f.centers[:, None, :]
+    )
+    Rb = jnp.broadcast_to(T[None, :, :3, :3], (G, W, 3, 3))
+    top = jnp.concatenate([Rb, t_new[..., None]], axis=-1)
+    bot = jnp.zeros((G, W, 1, 4), T.dtype).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _plane_moment(T, f: PlaneFactors, centered: bool):
+    """Common prefix: world moments, eigen decomposition inputs."""
+    if centered:
+        Tg = _shifted_poses(T, f)
+        # recenter the world-frame fixed moment too: S Cfix S^T
+        S = jnp.broadcast_to(
+            jnp.eye(4, dtype=f.Cfix.dtype), f.Cfix.shape
+        ).at[..., :3, 3].set(-f.centers)
+        Cfix = S @ f.Cfix @ jnp.swapaxes(S, -1, -2)
+        TC = sm.matmul(Tg, f.C)
+        TCT = sm.matmul(TC, Tg, transpose_b=True)
+    else:
+        Tg = None
+        Cfix = f.Cfix
+        TC = sm.matmul(T[None], f.C)
+        TCT = sm.matmul(TC, T[None], transpose_b=True)
+    Csum = Cfix + jnp.sum(TCT, axis=1)
+    NN = Csum[..., 3, 3]
+    NNs = jnp.where(NN > 0.5, NN, 1.0)
+    Cn = Csum / NNs[..., None, None]
+    vbar = Cn[..., :3, 3]
+    covM = Cn[..., :3, :3] - vbar[..., :, None] * vbar[..., None, :]
+    return Tg, TC, TCT, NNs, NN, vbar, covM
+
+
+def estimate_centers(T, f: PlaneFactors):
+    """World-frame plane centroids under poses T — used to fill
+    PlaneFactors.centers for the f32 conditioning mode."""
+    TC = jnp.einsum("wab,gwbc->gwac", T, f.C)
+    TCT = jnp.einsum("gwac,wdc->gwad", TC, T)
+    Csum = f.Cfix + jnp.sum(TCT, axis=1)
+    N = Csum[..., 3, 3]
+    Ns = jnp.where(N > 0.5, N, 1.0)
+    return Csum[..., :3, 3] / Ns[..., None]
+
+
+def residual_only(T, f: PlaneFactors, *, centered: bool = False,
+                  use_lapack_eigh: bool = False):
+    """Total cost sum_g coe_g * lambda_0(g).
+
+    Reference: evaluate_only_residual (bavoxel.hpp:428-470).
+
+    All matmuls run at full f32 precision: the TPU default (bf16 MXU
+    passes) loses ~4e-3 relative on the moment products, fatal for
+    lambda_0 which is a tiny difference of O(1) covariance entries.
+    """
+    with jax.default_matmul_precision("float32"):
+        _, _, _, _, NN, _, covM = _plane_moment(T, f, centered)
+        if use_lapack_eigh:
+            lam = jnp.linalg.eigvalsh(covM)
+        else:
+            lam = eigvals3(covM)
+        valid = (NN > 0.5) & (f.coe > 0)
+        return jnp.sum(jnp.where(valid, f.coe * lam[..., 0], 0.0))
+
+
+def evaluate(T, f: PlaneFactors, *, centered: bool = False,
+             use_lapack_eigh: bool = False, gap_eps: float = 1e-9):
+    """Residual, gradient (6W,), and full Newton Hessian (6W, 6W).
+
+    Reference: left_evaluate_acc2 (bavoxel.hpp:304-426).  The returned
+    Hessian is the exact second derivative of the cost w.r.t. the stacked
+    left-perturbation twists (w_0, t_0, ..., w_{W-1}, t_{W-1}).
+
+    Runs at full f32 matmul precision (see residual_only docstring).
+    """
+    with jax.default_matmul_precision("float32"):
+        return _evaluate_impl(
+            T, f, centered=centered, use_lapack_eigh=use_lapack_eigh,
+            gap_eps=gap_eps,
+        )
+
+
+def _evaluate_impl(T, f: PlaneFactors, *, centered, use_lapack_eigh, gap_eps):
+    G, W = f.C.shape[:2]
+    dtype = f.C.dtype
+    Tg, TC, TCT, NNs, NN, vbar, covM = _plane_moment(T, f, centered)
+
+    if use_lapack_eigh:
+        lam, U = jnp.linalg.eigh(covM)
+    else:
+        lam, U = eigh3(covM)
+
+    valid = (NN > 0.5) & (f.coe > 0)
+    coe = jnp.where(valid, f.coe, 0.0)
+    residual = jnp.sum(coe * lam[..., 0])
+
+    u_l = U[..., :, 0]                       # (G, 3) smallest eigenvector
+    uT = jnp.swapaxes(U, -1, -2)             # (G, 3k, 3) rows are u_k
+
+    # U_k 6x4 operators (bavoxel.hpp:354-360): [[-hat(u_k), 0], [0, u_k]]
+    Uk = jnp.zeros((G, 3, 6, 4), dtype)
+    Uk = Uk.at[..., :3, :3].set(-lie.hat(uT))
+    Uk = Uk.at[..., 3:, 3].set(uT)
+    Ul = Uk[:, 0]                            # (G, 6, 4)
+
+    # temp = T[:3, :] with translation column shifted by -vbar
+    # (bavoxel.hpp:368-369)
+    if centered:
+        temp = Tg[..., :3, :]
+    else:
+        temp = jnp.broadcast_to(T[None, :, :3, :], (G, W, 3, 4))
+    temp = temp.at[..., :, 3].add(-vbar[:, None, :])
+
+    # X = TC @ temp^T  (bavoxel.hpp:370 TC_TCFSp), (G, W, 4, 3)
+    X = sm.matmul(TC, temp, transpose_b=True)
+
+    inv_NN = (1.0 / NNs)[:, None]            # (G, 1) broadcast over W
+
+    # g_kl vectors (bavoxel.hpp:372-378)
+    Xul = sm.matvec(X, u_l[:, None])                  # (G, W, 4)
+    # g1[g,k,w,e] = sum_a Uk[g,k,e,a] Xul[g,w,a]
+    g1 = jnp.sum(
+        Uk[:, :, None, :, :] * Xul[:, None, :, None, :], axis=-1
+    )                                                 # (G, 3, W, 6)
+    UlX = sm.matmul(Ul[:, None], X)                   # (G, W, 6, 3)
+    # g2[g,k,w,e] = sum_b UlX[g,w,e,b] uT[g,k,b]
+    g2 = jnp.sum(
+        UlX[:, None] * uT[:, :, None, None, :], axis=-1
+    )                                                 # (G, 3, W, 6)
+    g_kl = (g1 + g2) * inv_NN[..., None, None]
+
+    # a_i = U_l (TC_i) e_3 (bavoxel.hpp:380 UlTCF), (G, W, 6)
+    a = sm.matvec(Ul[:, None], TC[..., :, 3])
+
+    # block-diagonal corrections (bavoxel.hpp:385-401):
+    #   Hb = 2/NN U_l TCT_i U_l^T
+    UlTCT = sm.matmul(Ul[:, None], TCT)               # (G, W, 6, 4)
+    Hb = sm.matmul(UlTCT, Ul[:, None], transpose_b=True)  # (G, W, 6, 6)
+    Hb = Hb * (2.0 * inv_NN)[..., None, None]
+    #   Ell = 1/NN hat(X[:3,:3] u_l) hat(u_l)  (bavoxel.hpp:387)
+    y = sm.matvec(X[..., :3, :], u_l[:, None])        # (G, W, 3)
+    Ell = sm.matmul(
+        lie.hat(y), lie.hat(u_l)[:, None]
+    ) * inv_NN[..., None, None]
+    Dblk = jnp.zeros((G, W, 6, 6), dtype)
+    Dblk = Dblk.at[..., :3, :3].add(Ell + jnp.swapaxes(Ell, -1, -2))
+    Dblk = Dblk + Hb
+
+    # gradient vectors per (plane, pose)
+    jvec = g_kl[:, 0]                                  # (G, W, 6)
+
+    if centered:
+        # map covectors back from the shifted frame (see module docstring)
+        c = f.centers[:, None, :]
+        a = lie.adjoint_translation_vec(a, c)
+        jvec = lie.adjoint_translation_vec(jvec, c)
+        g_k = lie.adjoint_translation_vec(
+            g_kl[:, 1:].reshape(G, 2 * W, 6), f.centers[:, None, :]
+        ).reshape(G, 2, W, 6)
+        Dblk = lie.adjoint_translation_mat(Dblk, c)
+        # exact second-order chain term of the conjugated left-update chart
+        Dblk = Dblk.at[..., :3, :3].add(
+            lie.centering_hessian_correction(jvec[..., 3:], c)
+        )
+    else:
+        g_k = g_kl[:, 1:]                              # (G, 2, W, 6)
+
+    # gradient (bavoxel.hpp:381)
+    JacT = jnp.sum(coe[:, None, None] * jvec, axis=0).reshape(6 * W)
+
+    # eigen-gap weights: 2/(lam0 - lamk) = -2/gap_k  (bavoxel.hpp:390-392)
+    scale = jnp.maximum(lam[..., 2], 1e-30)
+    gap = lam[..., 1:] - lam[..., 0:1]                 # (G, 2) >= 0
+    wk = jnp.where(gap > gap_eps * scale[..., None], 2.0 * coe[..., None] / jnp.maximum(gap, 1e-30), 0.0)
+    wa = 2.0 * coe / (NNs * NNs)
+
+    # stack scaled rows -> one big MXU matmul gives ALL (i, j) blocks at once
+    rows = jnp.concatenate(
+        [
+            (jnp.sqrt(wa)[:, None, None] * a).reshape(G, 6 * W)[:, None, :],
+            (jnp.sqrt(wk)[..., None, None] * g_k).reshape(G, 2, 6 * W),
+        ],
+        axis=1,
+    ).reshape(3 * G, 6 * W)
+    H = -(rows.T @ rows)
+
+    # add block-diagonal corrections
+    D = jnp.sum(coe[:, None, None, None] * Dblk, axis=0)  # (W, 6, 6)
+    Hr = H.reshape(W, 6, W, 6)
+    iw = jnp.arange(W)
+    Hr = Hr.at[iw, :, iw, :].add(D)
+    H = Hr.reshape(6 * W, 6 * W)
+
+    return residual, JacT, H

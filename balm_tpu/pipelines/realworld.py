@@ -1,0 +1,113 @@
+"""Real-world benchmark — the reference's `benchmark_realworld` experiment.
+
+Pipeline (src/benchmark/benchmark_realworld.cpp:144-236):
+  1. load alidarPose.csv + full{i}.pcd scans (177 poses)
+  2. re-anchor the trajectory to pose 0 (lines 163-168)
+  3. adaptive voxelization with voxel_size=1, eigen ratios
+     {1/16, 1/16, 1/9} (lines 183-188)
+  4. degeneracy gate: >= 3 planes per pose on average (lines 209-215)
+  5. BALM2 damped-Newton refinement, max 10 iterations (line 218)
+
+The interactive rviz confirmation gates (lines 174-176, 203-207) become a
+returned summary dict; visualization export lives in utils/export.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+import time
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import SolverConfig, VoxelConfig
+from ..io import pcd, poses
+from ..ops import factors as Fmod
+from ..ops import lie
+from ..solver import lm
+from ..voxel import grid
+
+
+@dataclasses.dataclass
+class RealworldConfig:
+    data_dir: str = "/root/reference/datas/benchmark_realworld"
+    max_scans: Optional[int] = None    # None = all 177
+    voxel: VoxelConfig = VoxelConfig(
+        voxel_size=1.0, eigen_ratio=(1.0 / 16, 1.0 / 16, 1.0 / 9)
+    )
+    solver: SolverConfig = SolverConfig(max_iters=10, u_init=0.01)
+    dtype: str = "float64"
+    centered: bool = False     # enable for the f32 fast path
+    downsample: float = 0.0    # optional voxel downsample of input scans
+
+
+def load(cfg: RealworldConfig):
+    """Load poses + scans, re-anchored to pose 0."""
+    d = pathlib.Path(cfg.data_dir)
+    R, p, t = poses.read_pose_csv(d / "alidarPose.csv", cfg.max_scans)
+    W = len(R)
+    scans = []
+    for i in range(W):
+        pts = pcd.read_pcd_xyz(d / f"full{i}.pcd", np.float64)
+        if cfg.downsample > 0:
+            pts = grid.down_sample_voxel(pts, cfg.downsample)
+        scans.append(pts)
+    # gauge anchor (benchmark_realworld.cpp:163-168)
+    R0, p0 = R[0].copy(), p[0].copy()
+    p = (p - p0) @ R0
+    R = np.einsum("ba,nbc->nac", R0, R)
+    return R, p, scans
+
+
+def run(cfg: RealworldConfig = RealworldConfig(), *, verbose: bool = False):
+    dtype = jnp.dtype(cfg.dtype)
+    t0 = time.perf_counter()
+    R, p, scans = load(cfg)
+    W = len(scans)
+    t_load = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    vres = grid.voxelize(scans, R, p, cfg.voxel, dtype=np.float64)
+    t_assoc = time.perf_counter() - t0
+    f = vres.factors
+    if cfg.centered:
+        f = Fmod.recenter_bodies(f)
+    if dtype != jnp.float64:
+        f = f.astype(dtype)
+
+    summary = {
+        "num_scans": W,
+        "num_points": int(sum(len(s) for s in scans)),
+        "num_planes": vres.num_planes,
+        "t_load_s": t_load,
+        "t_assoc_s": t_assoc,
+    }
+    # degeneracy gate (benchmark_realworld.cpp:209-215)
+    if vres.num_planes < 3 * W:
+        summary["status"] = "too_few_planes"
+        return summary
+
+    t0 = time.perf_counter()
+    res = lm.damping_iter(
+        jnp.asarray(R, dtype), jnp.asarray(p, dtype), f, cfg.solver,
+        centered=cfg.centered,
+    )
+    res.R.block_until_ready()
+    t_solve = time.perf_counter() - t0
+
+    summary.update(
+        status="degenerate" if bool(res.degenerate) else "ok",
+        t_solve_s=t_solve,
+        iters=int(res.iters),
+        residual_final=float(res.residual),
+        residual_initial=float(res.trace_res1[0]),
+        result=res,
+    )
+    if verbose:
+        print(lm.format_trace(res))
+        for k, v in summary.items():
+            if k != "result":
+                print(f"  {k}: {v}")
+    return summary

@@ -1,0 +1,194 @@
+"""Damped Newton / Levenberg-Marquardt loop over SE(3) pose windows.
+
+Functional, jit-compiled re-design of the reference's `BALM2::damping_iter`
+(src/benchmark/bavoxel.hpp:1069-1166; virtual variant
+src/benchmark/benchmark_virtual.cpp:375-482; consistency variant
+src/simulation/BAs_left.hpp:1025-1098).  The accept/reject algebra, damping
+schedule and stopping rules match the reference exactly so iteration traces
+are comparable:
+
+  * solve (H + u D) dx = -J with D = diag(H)        (bavoxel.hpp:1113-1114)
+  * LEFT update R' = Exp(dw) R, p' = Exp(dw) p + dt (bavoxel.hpp:1122-1125)
+  * gain ratio rho = (res1 - res2)/q1, q1 = 0.5 dx.(u D dx - J)
+  * accept: u *= max(1/3, 1 - (2 rho - 1)^3), v = 2, recompute Hessian
+  * reject: u *= v, v *= 2, reuse Hessian          (bavoxel.hpp:1134-1149)
+  * stop when |res1 - res2| / res1 < rel_tol (or < abs_tol)
+
+Differences by design:
+  * degeneracy is a returned status, not exit(0) (bavoxel.hpp:1079-1085)
+  * the per-iteration printf trace (bavoxel.hpp:1132) becomes fixed-size
+    trace arrays in LMResult
+  * the 4-thread Hessian assembly (bavoxel.hpp:1025-1059) is inside the
+    factor kernel: sharding the plane axis over a device mesh makes XLA
+    insert the psum that replaces thread::join + matrix add.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SolverConfig
+from ..ops import factors as F
+from ..ops import lie
+
+
+class LMResult(NamedTuple):
+    R: jnp.ndarray            # (W, 3, 3) refined rotations
+    p: jnp.ndarray            # (W, 3) refined translations
+    residual: jnp.ndarray     # final accepted cost
+    iters: jnp.ndarray        # LM iterations executed
+    degenerate: jnp.ndarray   # bool: some pose saw < min_planes_per_pose
+    trace_res1: jnp.ndarray   # (max_iters,) cost before step (nan = unused)
+    trace_res2: jnp.ndarray   # (max_iters,) trial cost
+    trace_u: jnp.ndarray      # (max_iters,) damping
+    trace_accept: jnp.ndarray  # (max_iters,) 1.0 accepted / 0.0 rejected
+
+
+class _Carry(NamedTuple):
+    R: jnp.ndarray
+    p: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+    res1: jnp.ndarray
+    H: jnp.ndarray
+    J: jnp.ndarray
+    calc_hess: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+    t_res1: jnp.ndarray
+    t_res2: jnp.ndarray
+    t_u: jnp.ndarray
+    t_acc: jnp.ndarray
+
+
+def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
+                 *, centered: bool = False, use_lapack_eigh: bool = False):
+    """Run the LM loop. R (W,3,3), p (W,3), f: PlaneFactors."""
+    return _damping_iter_jit(
+        R, p, f,
+        cfg.max_iters, cfg.u_init, cfg.v_init, cfg.rel_tol, cfg.abs_tol,
+        cfg.min_planes_per_pose, cfg.gauge_fix, centered, use_lapack_eigh,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(3, 7, 9, 10, 11))
+def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
+                      min_planes, gauge_fix, centered, use_lapack_eigh):
+    W = R.shape[0]
+    dtype = R.dtype
+    one_three = jnp.asarray(1.0 / 3.0, dtype)
+
+    degenerate = jnp.min(f.planes_per_pose()) < min_planes
+
+    def eval_full(R, p):
+        T = lie.pose_matrix(R, p)
+        return F.evaluate(
+            T, f, centered=centered, use_lapack_eigh=use_lapack_eigh
+        )
+
+    def eval_res(R, p):
+        T = lie.pose_matrix(R, p)
+        return F.residual_only(
+            T, f, centered=centered, use_lapack_eigh=use_lapack_eigh
+        )
+
+    def body(c: _Carry) -> _Carry:
+        res1, J, H = jax.lax.cond(
+            c.calc_hess,
+            lambda: eval_full(c.R, c.p),
+            lambda: (c.res1, c.J, c.H),
+        )
+        D = jnp.diag(H)
+        A = H + c.u * jnp.diag(D)
+        dx = jnp.linalg.solve(A, -J)
+
+        Rt, pt = lie.se3_left_update(
+            c.R, c.p, dx.reshape(W, 6)
+        )
+        q1 = 0.5 * jnp.dot(dx, c.u * D * dx - J)
+        res2 = eval_res(Rt, pt)
+
+        q = res1 - res2
+        accept = q > 0
+
+        rho = q / q1
+        shrink = 1.0 - (2.0 * rho - 1.0) ** 3
+        u_acc = c.u * jnp.maximum(one_three, shrink)
+        u_rej = c.u * c.v
+        v_new = jnp.where(accept, 2.0, 2.0 * c.v)
+        u_new = jnp.where(accept, u_acc, u_rej)
+
+        Rn = jnp.where(accept, Rt, c.R)
+        pn = jnp.where(accept, pt, c.p)
+        res1n = jnp.where(accept, res2, res1)
+
+        rel = jnp.abs(res1 - res2) / jnp.maximum(res1, 1e-30)
+        stop = rel < rel_tol
+        if abs_tol > 0:
+            stop = stop | (jnp.abs(res1 - res2) < abs_tol)
+
+        i = c.it
+        return _Carry(
+            R=Rn, p=pn, u=u_new, v=v_new,
+            res1=res1n, H=H, J=J,
+            calc_hess=accept,
+            it=i + 1,
+            done=stop,
+            t_res1=c.t_res1.at[i].set(res1),
+            t_res2=c.t_res2.at[i].set(res2),
+            t_u=c.t_u.at[i].set(c.u),
+            t_acc=c.t_acc.at[i].set(accept.astype(dtype)),
+        )
+
+    def cond(c: _Carry):
+        return (~c.done) & (c.it < max_iters) & (~degenerate)
+
+    n6 = 6 * W
+    nan = jnp.full((max_iters,), jnp.nan, dtype)
+    init = _Carry(
+        R=R, p=p,
+        u=jnp.asarray(u_init, dtype), v=jnp.asarray(v_init, dtype),
+        res1=jnp.asarray(0.0, dtype),
+        H=jnp.zeros((n6, n6), dtype), J=jnp.zeros((n6,), dtype),
+        calc_hess=jnp.asarray(True),
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        t_res1=nan, t_res2=nan, t_u=nan, t_acc=nan,
+    )
+    c = jax.lax.while_loop(cond, body, init)
+
+    Rf, pf = c.R, c.p
+    if gauge_fix:
+        Rf, pf = lie.gauge_fix(Rf, pf)
+
+    final_res = jax.lax.cond(
+        c.it > 0, lambda: c.res1, lambda: eval_res(c.R, c.p)
+    )
+    return LMResult(
+        R=Rf, p=pf, residual=final_res, iters=c.it,
+        degenerate=degenerate,
+        trace_res1=c.t_res1, trace_res2=c.t_res2,
+        trace_u=c.t_u, trace_accept=c.t_acc,
+    )
+
+
+def format_trace(result: LMResult) -> str:
+    """Render the LM trace in the reference's comparable format
+    (bavoxel.hpp:1132: `iter%d: (res1 res2) u: ...`)."""
+    import numpy as np
+
+    lines = []
+    n = int(result.iters)
+    for i in range(n):
+        r1 = float(result.trace_res1[i])
+        r2 = float(result.trace_res2[i])
+        u = float(result.trace_u[i])
+        acc = "accept" if result.trace_accept[i] > 0.5 else "reject"
+        if np.isnan(r1):
+            break
+        lines.append(f"iter{i}: ({r1:.6f} {r2:.6f}) u: {u:.6f} {acc}")
+    return "\n".join(lines)

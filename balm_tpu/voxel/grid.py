@@ -1,0 +1,272 @@
+"""Adaptive voxelization: scans -> plane factor tensors.
+
+Re-design of the reference's pointer octree
+(`cut_voxel` bavoxel.hpp:1170-1223, `OCTO_TREE_NODE::recut/cut_func/
+judge_eigen` bavoxel.hpp:626-776, `tras_opt` bavoxel.hpp:908-929) as a
+flat, fully vectorized pipeline:
+
+  1. hash points into root voxels (integer floor-divide, packed int64 key)
+  2. per-cell moment accumulation via vectorized bincount (the octree's
+     per-node sig_orig/sig_tran accumulators)
+  3. planarity test lambda0/lambda1 < eigen_ratio[layer] on the batched
+     3x3 eigendecomposition (judge_eigen, bavoxel.hpp:654-699)
+  4. failing cells split into 8 octants by appending 3 bits to the cell id
+     (cut_func re-scatter, bavoxel.hpp:701-735) — up to layer_limit rounds
+  5. surviving plane cells emit per-(plane, scan) body-frame cluster
+     moments as a padded PlaneFactors batch (tras_opt + VOX_HESS::
+     push_voxel, bavoxel.hpp:30-51)
+
+There are no trees and no pointers: a "node" is a row index, subdivision is
+key arithmetic, and every pass is O(N) vectorized host work (association is
+run once per BA problem; the per-iteration hot path is all on-device).
+Association uses the INITIAL pose estimates, exactly like the reference
+(recut consumes sig_tran built at cut_voxel time).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import VoxelConfig
+from ..ops.factors import PlaneFactors
+
+_OFFSET = 1 << 20  # voxel coordinates valid in (-2^20, 2^20)
+
+
+@dataclasses.dataclass
+class VoxelizeResult:
+    factors: PlaneFactors
+    num_planes: int            # valid (un-padded) plane count
+    # per-point association (for display, merging, corruption experiments):
+    point_leaf: np.ndarray     # (N,) leaf id per input point, -1 = dropped
+    point_scan: np.ndarray     # (N,) scan id per input point
+    leaf_center: np.ndarray    # (L, 3) world center of each plane leaf
+    leaf_layer: np.ndarray     # (L,) octree layer of each leaf
+    leaf_decision: np.ndarray  # (L,) lambda0/lambda1 at admission
+
+
+def _moment_bincount(pts: np.ndarray, seg: np.ndarray, n: int) -> np.ndarray:
+    """Per-segment homogeneous moments (n, 4, 4) via 10 bincounts."""
+    C = np.zeros((n, 4, 4), pts.dtype)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    C[:, 0, 0] = np.bincount(seg, x * x, minlength=n)
+    C[:, 0, 1] = np.bincount(seg, x * y, minlength=n)
+    C[:, 0, 2] = np.bincount(seg, x * z, minlength=n)
+    C[:, 1, 1] = np.bincount(seg, y * y, minlength=n)
+    C[:, 1, 2] = np.bincount(seg, y * z, minlength=n)
+    C[:, 2, 2] = np.bincount(seg, z * z, minlength=n)
+    C[:, 0, 3] = np.bincount(seg, x, minlength=n)
+    C[:, 1, 3] = np.bincount(seg, y, minlength=n)
+    C[:, 2, 3] = np.bincount(seg, z, minlength=n)
+    C[:, 3, 3] = np.bincount(seg, minlength=n)
+    C[:, 1, 0] = C[:, 0, 1]
+    C[:, 2, 0] = C[:, 0, 2]
+    C[:, 2, 1] = C[:, 1, 2]
+    C[:, 3, 0] = C[:, 0, 3]
+    C[:, 3, 1] = C[:, 1, 3]
+    C[:, 3, 2] = C[:, 2, 3]
+    return C
+
+
+def _plane_test(C_tot: np.ndarray, eigen_ratio: float):
+    """lambda0/lambda1 planarity decision per cell (judge_eigen,
+    bavoxel.hpp:654-699). Returns (is_plane, decision, center, normal)."""
+    N = np.maximum(C_tot[:, 3, 3], 1.0)
+    vbar = C_tot[:, :3, 3] / N[:, None]
+    cov = C_tot[:, :3, :3] / N[:, None, None] - vbar[:, :, None] * vbar[:, None, :]
+    lam, U = np.linalg.eigh(cov)
+    lam1 = np.maximum(lam[:, 1], 1e-30)
+    decision = lam[:, 0] / lam1
+    return decision < eigen_ratio, decision, vbar, U[:, :, 0]
+
+
+def voxelize(
+    points: List[np.ndarray],
+    R: np.ndarray,
+    p: np.ndarray,
+    cfg: VoxelConfig = VoxelConfig(),
+    *,
+    dtype=np.float64,
+    pad_to: int = 128,
+    weighting: str = "point_count",
+) -> VoxelizeResult:
+    """Associate scans into plane factors under initial poses (R, p).
+
+    points: list of (Ni, 3) body-frame scans; R (W,3,3), p (W,3).
+    """
+    W = len(points)
+    scan_id = np.concatenate(
+        [np.full(len(pts), i, np.int64) for i, pts in enumerate(points)]
+    )
+    body = np.concatenate(points).astype(dtype)
+    world = np.einsum("nab,nb->na", R[scan_id].astype(dtype), body) + p[scan_id].astype(dtype)
+    n_pts = len(body)
+
+    # --- root voxel hash (cut_voxel, bavoxel.hpp:1178-1184) ---
+    coords = np.floor(world / cfg.voxel_size).astype(np.int64)
+    if np.any(np.abs(coords) >= _OFFSET):
+        raise ValueError("point cloud exceeds voxel-grid index range")
+    key = (
+        ((coords[:, 0] + _OFFSET) << 42)
+        | ((coords[:, 1] + _OFFSET) << 21)
+        | (coords[:, 2] + _OFFSET)
+    )
+    uniq, cell_of_point = np.unique(key, return_inverse=True)
+    n_cells = len(uniq)
+    cx = (uniq >> 42) - _OFFSET
+    cy = ((uniq >> 21) & ((1 << 21) - 1)) - _OFFSET
+    cz = (uniq & ((1 << 21) - 1)) - _OFFSET
+    cell_center = (np.stack([cx, cy, cz], -1) + 0.5) * cfg.voxel_size
+    half = cfg.voxel_size / 2.0
+
+    active = np.ones(n_pts, bool)
+    point_leaf = np.full(n_pts, -1, np.int64)
+
+    leaf_C = []          # list of (l, W, 4, 4)
+    leaf_center = []
+    leaf_layer = []
+    leaf_decision = []
+
+    for layer in range(cfg.layer_limit + 1):
+        idx = np.nonzero(active)[0]
+        if len(idx) == 0:
+            break
+        cid = cell_of_point[idx]
+        C_tot = _moment_bincount(world[idx], cid, n_cells)
+        counts = C_tot[:, 3, 3]
+
+        alive = counts > cfg.min_points      # (recut, bavoxel.hpp:746-747)
+        ratio = cfg.eigen_ratio[min(layer, len(cfg.eigen_ratio) - 1)]
+        is_plane, decision, centroid, _ = _plane_test(C_tot, ratio)
+        is_plane &= alive
+        can_split = alive & ~is_plane & (layer < cfg.layer_limit)
+
+        # finalize plane leaves: build per-(leaf, scan) BODY-frame moments
+        plane_ids = np.nonzero(is_plane)[0]
+        if len(plane_ids) > 0:
+            remap = np.full(n_cells, -1, np.int64)
+            remap[plane_ids] = np.arange(len(plane_ids))
+            on_plane = remap[cid] >= 0
+            pidx = idx[on_plane]
+            leafid = remap[cid[on_plane]]
+            seg = leafid * W + scan_id[pidx]
+            Cl = _moment_bincount(body[pidx], seg, len(plane_ids) * W)
+            leaf_C.append(Cl.reshape(len(plane_ids), W, 4, 4))
+            point_leaf[pidx] = leafid + sum(len(c) for c in leaf_C[:-1])
+            leaf_center.append(centroid[plane_ids])
+            leaf_layer.append([layer] * len(plane_ids))
+            leaf_decision.append(decision[plane_ids])
+
+        # drop dead + plane points from further processing
+        keep = can_split[cid]
+        active[idx[~keep]] = False
+
+        if layer == cfg.layer_limit or not np.any(can_split):
+            break
+
+        # --- octant split (cut_func, bavoxel.hpp:701-735) ---
+        idx2 = np.nonzero(active)[0]
+        cid2 = cell_of_point[idx2]
+        oct_bits = (world[idx2] > cell_center[cid2]).astype(np.int64)
+        octant = 4 * oct_bits[:, 0] + 2 * oct_bits[:, 1] + oct_bits[:, 2]
+        subkey = cid2 * 8 + octant
+        uniq2, new_cid = np.unique(subkey, return_inverse=True)
+        parent = uniq2 // 8
+        obits = uniq2 % 8
+        quarter = half / 2.0
+        sign = np.stack(
+            [2 * ((obits >> 2) & 1) - 1,
+             2 * ((obits >> 1) & 1) - 1,
+             2 * (obits & 1) - 1], -1
+        ).astype(dtype)
+        cell_center = cell_center[parent] + sign * quarter
+        half = quarter
+        n_cells = len(uniq2)
+        cell_of_point = np.full(n_pts, -1, np.int64)
+        cell_of_point[idx2] = new_cid
+
+    # --- assemble factor batch (tras_opt + push_voxel) ---
+    if leaf_C:
+        C_all = np.concatenate(leaf_C, axis=0)
+        centers_all = np.concatenate(leaf_center, axis=0)
+        layers_all = np.concatenate([np.asarray(l) for l in leaf_layer])
+        decisions_all = np.concatenate(leaf_decision)
+    else:
+        C_all = np.zeros((0, W, 4, 4), dtype)
+        centers_all = np.zeros((0, 3), dtype)
+        layers_all = np.zeros((0,), np.int64)
+        decisions_all = np.zeros((0,), dtype)
+
+    # admission: >= min_observers scans (bavoxel.hpp:33-37)
+    observers = (C_all[..., 3, 3] > 0).sum(axis=1)
+    admit = observers >= cfg.min_observers
+    C_all = C_all[admit]
+    centers_all = centers_all[admit]
+    layers_all = layers_all[admit]
+    decisions_all = decisions_all[admit]
+    # remap point_leaf: admitted leaves get compact ids, others dropped
+    old_ids = np.nonzero(admit)[0]
+    remap = np.full(len(admit), -1, np.int64)
+    remap[old_ids] = np.arange(len(old_ids))
+    valid_pts = point_leaf >= 0
+    point_leaf[valid_pts] = remap[point_leaf[valid_pts]]
+
+    G = len(C_all)
+    if weighting == "point_count":
+        coe = C_all[..., 3, 3].sum(axis=1)   # bavoxel.hpp:41-44
+    elif weighting == "unit":
+        coe = np.ones(G, dtype)              # BAs_left.hpp:43-45
+    else:
+        raise ValueError(weighting)
+
+    Gpad = max(pad_to, -(-G // pad_to) * pad_to)
+    Cp = np.zeros((Gpad, W, 4, 4), dtype)
+    Cp[:G] = C_all
+    coep = np.zeros(Gpad, dtype)
+    coep[:G] = coe
+    centp = np.zeros((Gpad, 3), dtype)
+    centp[:G] = centers_all
+
+    # keep everything in host numpy f64: converting through jnp here would
+    # silently truncate to f32 when jax x64 mode is off, destroying the
+    # moments before recenter_bodies can condition them
+    f = PlaneFactors(
+        C=Cp,
+        Cfix=np.zeros((Gpad, 4, 4), dtype),
+        coe=coep,
+        centers=centp,
+        body_centers=np.zeros((Gpad, W, 3), dtype),
+    )
+    return VoxelizeResult(
+        factors=f,
+        num_planes=G,
+        point_leaf=point_leaf,
+        point_scan=scan_id,
+        leaf_center=centers_all,
+        leaf_layer=layers_all,
+        leaf_decision=decisions_all,
+    )
+
+
+def down_sample_voxel(points: np.ndarray, voxel_size: float) -> np.ndarray:
+    """Voxel-grid centroid downsampling (reference down_sampling_voxel,
+    tools.hpp:203-242)."""
+    if voxel_size < 1e-3:
+        return points
+    coords = np.floor(points / voxel_size).astype(np.int64)
+    key = (
+        ((coords[:, 0] + _OFFSET) << 42)
+        | ((coords[:, 1] + _OFFSET) << 21)
+        | (coords[:, 2] + _OFFSET)
+    )
+    uniq, inv = np.unique(key, return_inverse=True)
+    n = len(uniq)
+    out = np.zeros((n, 3), points.dtype)
+    cnt = np.bincount(inv, minlength=n)
+    for a in range(3):
+        out[:, a] = np.bincount(inv, points[:, a], minlength=n) / cnt
+    return out

@@ -1,0 +1,78 @@
+"""Benchmark driver: prints one JSON line with the headline metric.
+
+Metric: LM iterations/sec on the real-world 177-scan benchmark's factor
+problem (full Hessian+gradient evaluation + solve + trial residual per
+iteration).  Baseline: the reference's 4-thread C++ evaluator takes ~1-2 s
+per iteration on this problem on a desktop CPU (Supplementary data places
+BALM2 at ~10-60 s total for comparable hilti/viral sequences, ~10-20
+accepted iterations -> ~1 s/iter); vs_baseline is measured against 1.0
+iter/s.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_ITERS_PER_SEC = 1.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from balm_tpu.config import SolverConfig
+    from balm_tpu.ops import factors as Fmod
+    from balm_tpu.pipelines import realworld
+    from balm_tpu.solver import lm
+
+    dtype = "float32"
+    cfg = realworld.RealworldConfig(dtype=dtype, centered=True)
+    R, p, scans = realworld.load(cfg)
+    from balm_tpu.voxel import grid
+
+    vres = grid.voxelize(scans, R, p, cfg.voxel, dtype=np.float64)
+    f = Fmod.recenter_bodies(vres.factors).astype(jnp.dtype(dtype))
+    R = jnp.asarray(R, dtype)
+    p = jnp.asarray(p, dtype)
+
+    solver_cfg = SolverConfig(max_iters=10, u_init=0.01, rel_tol=0.0)
+
+    # warm up / compile
+    res = lm.damping_iter(R, p, f, solver_cfg, centered=True)
+    res.R.block_until_ready()
+    assert float(res.trace_res1[0]) > 0, "residual must be positive"
+
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = lm.damping_iter(R, p, f, solver_cfg, centered=True)
+        res.R.block_until_ready()
+        dt = min(dt, time.perf_counter() - t0)
+    iters = max(int(res.iters), 1)
+    ips = iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "lm_iterations_per_sec_realworld177",
+                "value": round(ips, 3),
+                "unit": "iter/s",
+                "vs_baseline": round(ips / BASELINE_ITERS_PER_SEC, 3),
+                "detail": {
+                    "scans": int(len(scans)),
+                    "planes": int(vres.num_planes),
+                    "iters": iters,
+                    "total_s": round(dt, 3),
+                    "residual_initial": float(res.trace_res1[0]),
+                    "residual_final": float(res.residual),
+                    "dtype": dtype,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

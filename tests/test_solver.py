@@ -1,0 +1,72 @@
+"""End-to-end solver oracle: the synthetic virtual benchmark
+(reference protocol src/benchmark/benchmark_virtual.cpp) must converge from
+~2 deg / 0.1 m perturbation to far below it."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from balm_tpu.config import SolverConfig
+from balm_tpu.pipelines import virtual
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_virtual_benchmark_converges(seed):
+    cfg = virtual.VirtualConfig(
+        win_size=10, surf_size=20, pts_size=50, seed=seed
+    )
+    out = virtual.run(cfg)
+    assert not out["degenerate"]
+    # initial error is ~2 deg / 0.1 m; solver must reduce it by >10x
+    assert out["rsme_rot_deg_initial"] > 0.5
+    assert out["rsme_rot_deg"] < 0.1 * out["rsme_rot_deg_initial"]
+    assert out["rsme_trans_m"] < 0.1 * out["rsme_trans_m_initial"]
+    # and reach sub-0.1deg / sub-cm like the reference
+    assert out["rsme_rot_deg"] < 0.1
+    assert out["rsme_trans_m"] < 0.01
+
+
+def test_virtual_benchmark_reference_size():
+    """Exact reference configuration: 20 poses x 20 planes x 40 points."""
+    cfg = virtual.VirtualConfig(win_size=20, surf_size=20, pts_size=40, seed=3)
+    out = virtual.run(cfg)
+    assert out["rsme_rot_deg"] < 0.1
+    assert out["rsme_trans_m"] < 0.01
+    assert out["iters"] <= 20
+
+
+def test_residual_monotone_on_accept():
+    cfg = virtual.VirtualConfig(win_size=8, surf_size=12, pts_size=25, seed=5)
+    out = virtual.run(cfg)
+    res = out["result"]
+    n = int(res.iters)
+    r1 = np.array(res.trace_res1)[:n]
+    acc = np.array(res.trace_accept)[:n] > 0.5
+    r2 = np.array(res.trace_res2)[:n]
+    # accepted steps must strictly reduce the cost
+    assert np.all(r2[acc] < r1[acc])
+
+
+def test_gauge_fixed_output():
+    cfg = virtual.VirtualConfig(win_size=6, surf_size=10, pts_size=25, seed=6)
+    out = virtual.run(cfg)
+    res = out["result"]
+    assert np.allclose(np.array(res.R[0]), np.eye(3), atol=1e-10)
+    assert np.allclose(np.array(res.p[0]), 0.0, atol=1e-10)
+
+
+def test_degenerate_status():
+    """Too few planes per pose -> degenerate flag, no crash
+    (reference exits the process, bavoxel.hpp:1079-1085)."""
+    cfg = virtual.VirtualConfig(win_size=6, surf_size=4, pts_size=10, seed=7)
+    out = virtual.run(cfg, SolverConfig(max_iters=20, u_init=0.1,
+                                        min_planes_per_pose=20))
+    assert out["degenerate"]
+    assert out["iters"] == 0
+
+
+def test_centered_mode_converges():
+    cfg = virtual.VirtualConfig(win_size=10, surf_size=15, pts_size=30, seed=8)
+    out = virtual.run(cfg, centered=True)
+    assert out["rsme_rot_deg"] < 0.1
+    assert out["rsme_trans_m"] < 0.01
