@@ -194,6 +194,125 @@ def estimate_centers(T, f: PlaneFactors):
     return Csum[..., :3, 3] / Ns[..., None]
 
 
+def evaluate_right(T, f: PlaneFactors, *, use_lapack_eigh: bool = False,
+                   gap_eps: float = 1e-9):
+    """Residual/gradient/Hessian under RIGHT perturbation
+    (R <- R Exp(w), p <- p + t).
+
+    Reference: acc_evaluate2 (bavoxel.hpp:53-158) — the alternative update
+    form the reference keeps alongside the production left evaluator
+    (bavoxel.hpp:1108, 1118-1120).  Requires RAW body moments (no
+    body_centers / centering: right perturbation does not commute with the
+    body-offset composition).
+
+    Note: like the reference, the returned Hessian carries the
+    -0.5 hat(grad_rot) term on the rotation-rotation diagonal blocks
+    (bavoxel.hpp:124), which is antisymmetric and vanishes at critical
+    points; its symmetric part equals the true second derivative.
+    """
+    with jax.default_matmul_precision("float32"):
+        return _evaluate_right_impl(T, f, use_lapack_eigh, gap_eps)
+
+
+def _evaluate_right_impl(T, f, use_lapack_eigh, gap_eps):
+    G, W = f.C.shape[:2]
+    dtype = f.C.dtype
+    _, TC, TCT, NNs, NN, vbar, covM = _plane_moment(T, f, centered=False)
+    if use_lapack_eigh:
+        lam, U = jnp.linalg.eigh(covM)
+    else:
+        lam, U = eigh3(covM)
+
+    valid = (NN > 0.5) & (f.coe > 0)
+    coe = jnp.where(valid, f.coe, 0.0)
+    residual = jnp.sum(coe * lam[..., 0])
+
+    R = T[:, :3, :3]
+    pfull = T[:, :3, 3]
+    u0 = U[..., :, 0]                                 # (G, 3)
+    uT = jnp.swapaxes(U, -1, -2)                      # (G, 3k, 3)
+
+    Pi = f.C[..., :3, :3]                             # (G, W, 3, 3)
+    vi = f.C[..., :3, 3]                              # (G, W, 3)
+    ni = f.C[..., 3, 3]                               # (G, W)
+    inv_NN = (1.0 / NNs)[:, None]                     # (G, 1)
+
+    Rt = jnp.swapaxes(R, -1, -2)
+    RiTuk = sm.matvec(Rt[None], u0[:, None])          # (G, W, 3)
+    RiTukhat = lie.hat(RiTuk)
+    PiRiTuk = sm.matvec(Pi, RiTuk)
+    viRiTuk = jnp.cross(vi, RiTuk)
+    ti_v = pfull[None] - vbar[:, None]                # (G, W, 3)
+    ukTti_v = jnp.sum(u0[:, None] * ti_v, axis=-1)    # (G, W)
+
+    combo1 = lie.hat(PiRiTuk) + lie.hat(vi) * ukTti_v[..., None, None]
+    combo2 = sm.matvec(R[None], vi) + ni[..., None] * ti_v
+
+    RP_tv = sm.matmul(R[None], Pi) + ti_v[..., :, None] * vi[..., None, :]
+    left3 = sm.matmul(RP_tv, RiTukhat) - sm.matmul(R[None], combo1)
+    eye3 = jnp.eye(3, dtype=dtype)
+    right3 = (
+        combo2[..., :, None] * u0[:, None, None, :]
+        + jnp.sum(combo2 * u0[:, None], axis=-1)[..., None, None] * eye3
+    )
+    Auk = jnp.concatenate([left3, right3], axis=-1) * inv_NN[..., None, None]
+    # (G, W, 3, 6)
+
+    jjt = sm.matvec(jnp.swapaxes(Auk, -1, -2), u0[:, None])   # (G, W, 6)
+    JacT = jnp.sum(coe[:, None, None] * jjt, axis=0).reshape(6 * W)
+
+    # rank-1 assembly over all pose pairs
+    # b_m = Auk^T u_m (m = 1, 2), weight 2 coe/(lam_m - lam_0)
+    b = jnp.sum(
+        Auk[:, None] * uT[:, 1:, None, :, None], axis=-2
+    )                                                 # (G, 2, W, 6)
+    scale = jnp.maximum(lam[..., 2], 1e-30)
+    gap = lam[..., 1:] - lam[..., 0:1]
+    wk = jnp.where(
+        gap > gap_eps * scale[..., None],
+        2.0 * coe[..., None] / jnp.maximum(gap, 1e-30), 0.0
+    )
+    # c = [viRiTuk ; ni u0], weight 2 coe / NN^2
+    c = jnp.concatenate(
+        [viRiTuk, ni[..., None] * u0[:, None]], axis=-1
+    )                                                 # (G, W, 6)
+    wc = 2.0 * coe / (NNs * NNs)
+
+    rows = jnp.concatenate(
+        [
+            (jnp.sqrt(wk)[..., None, None] * b).reshape(G, 2, 6 * W),
+            (jnp.sqrt(wc)[:, None, None] * c).reshape(G, 6 * W)[:, None, :],
+        ],
+        axis=1,
+    ).reshape(3 * G, 6 * W)
+    H = -(rows.T @ rows)
+
+    # diagonal-only corrections
+    tl = (
+        sm.matmul(combo1 - sm.matmul(RiTukhat, Pi), RiTukhat)
+        * (2.0 * inv_NN)[..., None, None]
+        - 0.5 * lie.hat(jjt[..., :3])
+    )
+    tr = (2.0 * inv_NN)[..., None, None] * (
+        viRiTuk[..., :, None] * u0[:, None, None, :]
+    )
+    br = (2.0 * ni * inv_NN)[..., None, None] * (
+        u0[:, None, :, None] * u0[:, None, None, :]
+    )
+    Dblk = jnp.concatenate(
+        [
+            jnp.concatenate([tl, tr], axis=-1),
+            jnp.concatenate([jnp.swapaxes(tr, -1, -2), br], axis=-1),
+        ],
+        axis=-2,
+    )                                                 # (G, W, 6, 6)
+    D = jnp.sum(coe[:, None, None, None] * Dblk, axis=0)
+    Hr = H.reshape(W, 6, W, 6)
+    iw = jnp.arange(W)
+    Hr = Hr.at[iw, :, iw, :].add(D)
+    return residual, JacT, Hr.reshape(6 * W, 6 * W)
+
+
 def residual_only(T, f: PlaneFactors, *, centered: bool = False,
                   use_lapack_eigh: bool = False):
     """Total cost sum_g coe_g * lambda_0(g).

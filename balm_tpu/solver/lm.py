@@ -66,18 +66,28 @@ class _Carry(NamedTuple):
 
 
 def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
-                 *, centered: bool = False, use_lapack_eigh: bool = False):
-    """Run the LM loop. R (W,3,3), p (W,3), f: PlaneFactors."""
+                 *, centered: bool = False, use_lapack_eigh: bool = False,
+                 update: str = "left"):
+    """Run the LM loop. R (W,3,3), p (W,3), f: PlaneFactors.
+
+    update: 'left' (production, bavoxel.hpp:1122-1125) or 'right'
+    (the reference's alternative form, bavoxel.hpp:1108, 1118-1120;
+    requires raw body moments and centered=False).
+    """
+    if update == "right" and centered:
+        raise ValueError("right update requires centered=False")
     return _damping_iter_jit(
         R, p, f,
         cfg.max_iters, cfg.u_init, cfg.v_init, cfg.rel_tol, cfg.abs_tol,
         cfg.min_planes_per_pose, cfg.gauge_fix, centered, use_lapack_eigh,
+        update,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(3, 7, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(3, 7, 9, 10, 11, 12))
 def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
-                      min_planes, gauge_fix, centered, use_lapack_eigh):
+                      min_planes, gauge_fix, centered, use_lapack_eigh,
+                      update):
     W = R.shape[0]
     dtype = R.dtype
     one_three = jnp.asarray(1.0 / 3.0, dtype)
@@ -86,6 +96,8 @@ def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
 
     def eval_full(R, p):
         T = lie.pose_matrix(R, p)
+        if update == "right":
+            return F.evaluate_right(T, f, use_lapack_eigh=use_lapack_eigh)
         return F.evaluate(
             T, f, centered=centered, use_lapack_eigh=use_lapack_eigh
         )
@@ -106,9 +118,10 @@ def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
         A = H + c.u * jnp.diag(D)
         dx = jnp.linalg.solve(A, -J)
 
-        Rt, pt = lie.se3_left_update(
-            c.R, c.p, dx.reshape(W, 6)
-        )
+        if update == "right":
+            Rt, pt = lie.se3_right_update(c.R, c.p, dx.reshape(W, 6))
+        else:
+            Rt, pt = lie.se3_left_update(c.R, c.p, dx.reshape(W, 6))
         q1 = 0.5 * jnp.dot(dx, c.u * D * dx - J)
         res2 = eval_res(Rt, pt)
 

@@ -1,0 +1,36 @@
+"""Reduced-size run of the real consistency experiment (reference
+src/simulation/consistency.cpp): NEES against the chi-square expectation
+on the shipped simulator dataset."""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from balm_tpu.pipelines import consistency
+
+DATA = pathlib.Path("/root/reference/datas/consistency")
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference dataset not mounted")
+def test_real_consistency_nees_reduced():
+    cfg = consistency.ConsistencyConfig(num_scans=40, seed=3)
+    out = consistency.run(cfg)
+    # chi2(6*39=234): std/dof ~ 0.092; generous 4-sigma-ish band
+    assert 0.6 < out["ratio"] < 1.5, out["ratio"]
+    assert out["iters"] < 100
+    # errors must be small (mm-level trans, millidegree-level rot)
+    assert out["err_trans_rms_m"] < 0.02
+    assert out["err_rot_rms_deg"] < 0.1
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference dataset not mounted")
+def test_marginalized_prior_anchors_gauge():
+    """Without the fixed clusters H would be gauge-singular; the NEES run
+    must produce a finite, PSD-ish covariance."""
+    cfg = consistency.ConsistencyConfig(num_scans=25, seed=5)
+    out = consistency.run(cfg)
+    Rcov = out["Rcov"]
+    assert np.all(np.isfinite(Rcov))
+    d = np.diag(Rcov)
+    assert np.all(d > 0)
