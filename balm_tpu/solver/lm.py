@@ -67,12 +67,14 @@ class _Carry(NamedTuple):
 
 def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
                  *, centered: bool = False, use_lapack_eigh: bool = False,
-                 update: str = "left"):
+                 update: str = "left", linear_solver: str = "cholesky"):
     """Run the LM loop. R (W,3,3), p (W,3), f: PlaneFactors.
 
     update: 'left' (production, bavoxel.hpp:1122-1125) or 'right'
     (the reference's alternative form, bavoxel.hpp:1108, 1118-1120;
     requires raw body moments and centered=False).
+    linear_solver: 'cholesky' (fast TPU path) or 'lu' (handles indefinite
+    H + uD without relying on LM rejection; reference uses LDLT).
     """
     if update == "right" and centered:
         raise ValueError("right update requires centered=False")
@@ -80,14 +82,14 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
         R, p, f,
         cfg.max_iters, cfg.u_init, cfg.v_init, cfg.rel_tol, cfg.abs_tol,
         cfg.min_planes_per_pose, cfg.gauge_fix, centered, use_lapack_eigh,
-        update,
+        update, linear_solver,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(3, 7, 9, 10, 11, 12))
+@functools.partial(jax.jit, static_argnums=(3, 7, 9, 10, 11, 12, 13))
 def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                       min_planes, gauge_fix, centered, use_lapack_eigh,
-                      update):
+                      update, linear_solver):
     W = R.shape[0]
     dtype = R.dtype
     one_three = jnp.asarray(1.0 / 3.0, dtype)
@@ -116,7 +118,15 @@ def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
         )
         D = jnp.diag(H)
         A = H + c.u * jnp.diag(D)
-        dx = jnp.linalg.solve(A, -J)
+        if linear_solver == "cholesky":
+            # H + uD is PD except for badly indefinite early steps; a
+            # failed factorization yields NaN dx -> trial residual NaN ->
+            # LM rejects and raises u, which restores definiteness.  Much
+            # faster than LU on TPU (no pivoting).
+            L = jax.scipy.linalg.cho_factor(A, lower=True)
+            dx = jax.scipy.linalg.cho_solve(L, -J)
+        else:
+            dx = jnp.linalg.solve(A, -J)
 
         if update == "right":
             Rt, pt = lie.se3_right_update(c.R, c.p, dx.reshape(W, 6))

@@ -93,18 +93,46 @@ def voxelize(
     dtype=np.float64,
     pad_to: int = 128,
     weighting: str = "point_count",
+    backend: str = "auto",
 ) -> VoxelizeResult:
     """Associate scans into plane factors under initial poses (R, p).
 
     points: list of (Ni, 3) body-frame scans; R (W,3,3), p (W,3).
+    backend: 'native' (C++ engine, balm_tpu/native), 'numpy' (reference
+    implementation), or 'auto' (native when available).
     """
     W = len(points)
     scan_id = np.concatenate(
         [np.full(len(pts), i, np.int64) for i, pts in enumerate(points)]
     )
-    body = np.concatenate(points).astype(dtype)
-    world = np.einsum("nab,nb->na", R[scan_id].astype(dtype), body) + p[scan_id].astype(dtype)
+    body = np.concatenate(points).astype(dtype, copy=False)
+    # per-scan transform: avoids gathering a (N, 3, 3) rotation array
+    world = np.empty_like(body)
+    ofs = 0
+    Rd = R.astype(dtype, copy=False)
+    pd = p.astype(dtype, copy=False)
+    for i, pts in enumerate(points):
+        n = len(pts)
+        world[ofs:ofs + n] = body[ofs:ofs + n] @ Rd[i].T + pd[i]
+        ofs += n
     n_pts = len(body)
+
+    if backend == "auto":
+        from .. import native
+        backend = "native" if native.available() else "numpy"
+    if backend == "native":
+        from .. import native
+
+        L, point_leaf, C_all, centers_all, layers_all, decisions_all = (
+            native.voxelize_adaptive(
+                world, body, scan_id, W, cfg.voxel_size, cfg.layer_limit,
+                np.asarray(cfg.eigen_ratio, np.float64), cfg.min_points,
+            )
+        )
+        return _assemble(
+            C_all, centers_all, layers_all, decisions_all, point_leaf,
+            scan_id, W, cfg, dtype, pad_to, weighting,
+        )
 
     # --- root voxel hash (cut_voxel, bavoxel.hpp:1178-1184) ---
     coords = np.floor(world / cfg.voxel_size).astype(np.int64)
@@ -200,6 +228,17 @@ def voxelize(
         centers_all = np.zeros((0, 3), dtype)
         layers_all = np.zeros((0,), np.int64)
         decisions_all = np.zeros((0,), dtype)
+
+    return _assemble(
+        C_all, centers_all, layers_all, decisions_all, point_leaf,
+        scan_id, W, cfg, dtype, pad_to, weighting,
+    )
+
+
+def _assemble(C_all, centers_all, layers_all, decisions_all, point_leaf,
+              scan_id, W, cfg, dtype, pad_to, weighting) -> VoxelizeResult:
+    """Admission gates + padding -> PlaneFactors (push_voxel,
+    bavoxel.hpp:30-51)."""
 
     # admission: >= min_observers scans (bavoxel.hpp:33-37)
     observers = (C_all[..., 3, 3] > 0).sum(axis=1)

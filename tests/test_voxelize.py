@@ -129,6 +129,37 @@ def test_subdivision_finds_small_planes():
     assert np.all(res.leaf_layer >= 1)
 
 
+def test_native_backend_matches_numpy():
+    from balm_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no g++ toolchain")
+    R, p, scans = make_scene(seed=11, W=4, n_planes=8, pts_per=250)
+    cfg = VoxelConfig(voxel_size=1.0, min_observers=2)
+    a = grid.voxelize(scans, R, p, cfg, pad_to=16, backend="numpy")
+    b = grid.voxelize(scans, R, p, cfg, pad_to=16, backend="native")
+    assert a.num_planes == b.num_planes
+    # leaf ordering may differ: match by center
+    oa = np.lexsort(np.round(a.leaf_center, 6).T)
+    ob = np.lexsort(np.round(b.leaf_center, 6).T)
+    assert np.allclose(a.leaf_center[oa], b.leaf_center[ob], atol=1e-9)
+    Ca = np.asarray(a.factors.C[: a.num_planes])[oa]
+    Cb = np.asarray(b.factors.C[: b.num_planes])[ob]
+    assert np.allclose(Ca, Cb, atol=1e-8)
+    assert np.array_equal(a.leaf_layer[oa], b.leaf_layer[ob])
+    # point->leaf association agrees up to the leaf permutation
+    pa = a.point_leaf
+    pb = b.point_leaf
+    assert np.array_equal(pa >= 0, pb >= 0)
+    inv_a = np.empty_like(oa)
+    inv_a[oa] = np.arange(len(oa))
+    inv_b = np.empty_like(ob)
+    inv_b[ob] = np.arange(len(ob))
+    assert np.array_equal(inv_a[pa[pa >= 0]], inv_b[pb[pb >= 0]])
+
+
 def test_down_sample_voxel():
     rng = np.random.default_rng(5)
     pts = rng.uniform(0, 4, size=(5000, 3))
