@@ -1,0 +1,1 @@
+from . import balm1, ef

@@ -1,0 +1,48 @@
+"""Eigen-Factor-style gradient descent (comparison baseline).
+
+The reference re-implements the Eigen-Factor method for paper comparisons
+(src/compare_test/EF_test.cpp:105-330): gradient-only descent of
+lambda_min of the homogeneous plane moments with a step-halving line
+search — the slowest method in the reference's tables (SURVEY.md sec. 6).
+
+Here the gradient comes from the production analytic evaluator; only the
+update rule differs (first-order + halving line search, EF_test.cpp's
+step = -alpha/N J with <= max_iters iterations).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import factors as Fmod
+from ..ops import lie
+
+
+def descend(R, p, f: Fmod.PlaneFactors, *, max_iters=200, alpha=1.0,
+            halvings=12, rel_tol=1e-8):
+    """Gradient descent with backtracking. Returns (R, p, residual, iters)."""
+    T = lie.pose_matrix(R, p)
+    res1, J, _ = Fmod.evaluate(T, f)
+    npts = jnp.maximum(jnp.sum(f.C[..., 3, 3]), 1.0)
+    it = 0
+    for it in range(max_iters):
+        step = alpha / float(npts)
+        accepted = False
+        for _ in range(halvings):
+            dx = (-step * J).reshape(-1, 6)
+            Rt, pt = lie.se3_left_update(R, p, dx)
+            res2 = float(Fmod.residual_only(lie.pose_matrix(Rt, pt), f))
+            if res2 < float(res1):
+                accepted = True
+                break
+            step *= 0.5
+        if not accepted:
+            break
+        R, p = Rt, pt
+        if (float(res1) - res2) / max(float(res1), 1e-30) < rel_tol:
+            res1 = res2
+            break
+        res1 = res2
+        T = lie.pose_matrix(R, p)
+        _, J, _ = Fmod.evaluate(T, f)
+    return R, p, float(res1), it + 1

@@ -314,8 +314,8 @@ def _evaluate_right_impl(T, f, use_lapack_eigh, gap_eps):
 
 
 def residual_only(T, f: PlaneFactors, *, centered: bool = False,
-                  use_lapack_eigh: bool = False):
-    """Total cost sum_g coe_g * lambda_0(g).
+                  use_lapack_eigh: bool = False, l_set=(0,)):
+    """Total cost sum_g coe_g * sum_{l in l_set} lambda_l(g).
 
     Reference: evaluate_only_residual (bavoxel.hpp:428-470).
 
@@ -330,27 +330,38 @@ def residual_only(T, f: PlaneFactors, *, centered: bool = False,
         else:
             lam = eigvals3(covM)
         valid = (NN > 0.5) & (f.coe > 0)
-        return jnp.sum(jnp.where(valid, f.coe * lam[..., 0], 0.0))
+        cost = sum(lam[..., l] for l in l_set)
+        return jnp.sum(jnp.where(valid, f.coe * cost, 0.0))
 
 
 def evaluate(T, f: PlaneFactors, *, centered: bool = False,
-             use_lapack_eigh: bool = False, gap_eps: float = 1e-9):
+             use_lapack_eigh: bool = False, gap_eps: float = 1e-9,
+             l_set=(0,)):
     """Residual, gradient (6W,), and full Newton Hessian (6W, 6W).
 
     Reference: left_evaluate_acc2 (bavoxel.hpp:304-426).  The returned
     Hessian is the exact second derivative of the cost w.r.t. the stacked
     left-perturbation twists (w_0, t_0, ..., w_{W-1}, t_{W-1}).
 
+    l_set selects the summed eigenvalues: (0,) = plane factors (cost
+    lambda_0), (0, 1) = line/edge factors (cost lambda_0 + lambda_1, the
+    BALM 1.0 edge feature, reference balmclass.hpp:483-493).  The
+    divergent 1/(lambda_0 - lambda_1) gap terms between eigenvalues
+    inside the set cancel exactly (g_kl is symmetric in k, l), so only
+    gaps to the complement are kept — the sum is smooth even for
+    degenerate lambda_0 ~ lambda_1 line clusters.
+
     Runs at full f32 matmul precision (see residual_only docstring).
     """
     with jax.default_matmul_precision("float32"):
         return _evaluate_impl(
             T, f, centered=centered, use_lapack_eigh=use_lapack_eigh,
-            gap_eps=gap_eps,
+            gap_eps=gap_eps, l_set=tuple(l_set),
         )
 
 
-def _evaluate_impl(T, f: PlaneFactors, *, centered, use_lapack_eigh, gap_eps):
+def _evaluate_impl(T, f: PlaneFactors, *, centered, use_lapack_eigh, gap_eps,
+                   l_set=(0,)):
     G, W = f.C.shape[:2]
     dtype = f.C.dtype
     Tg, TC, TCT, NNs, NN, vbar, covM = _plane_moment(T, f, centered)
@@ -362,16 +373,16 @@ def _evaluate_impl(T, f: PlaneFactors, *, centered, use_lapack_eigh, gap_eps):
 
     valid = (NN > 0.5) & (f.coe > 0)
     coe = jnp.where(valid, f.coe, 0.0)
-    residual = jnp.sum(coe * lam[..., 0])
+    residual = jnp.sum(
+        coe * sum(lam[..., l] for l in l_set)
+    )
 
-    u_l = U[..., :, 0]                       # (G, 3) smallest eigenvector
     uT = jnp.swapaxes(U, -1, -2)             # (G, 3k, 3) rows are u_k
 
     # U_k 6x4 operators (bavoxel.hpp:354-360): [[-hat(u_k), 0], [0, u_k]]
     Uk = jnp.zeros((G, 3, 6, 4), dtype)
     Uk = Uk.at[..., :3, :3].set(-lie.hat(uT))
     Uk = Uk.at[..., 3:, 3].set(uT)
-    Ul = Uk[:, 0]                            # (G, 6, 4)
 
     # temp = T[:3, :] with translation column shifted by -vbar
     # (bavoxel.hpp:368-369)
@@ -385,73 +396,85 @@ def _evaluate_impl(T, f: PlaneFactors, *, centered, use_lapack_eigh, gap_eps):
     X = sm.matmul(TC, temp, transpose_b=True)
 
     inv_NN = (1.0 / NNs)[:, None]            # (G, 1) broadcast over W
+    scale = jnp.maximum(lam[..., 2], 1e-30)
+    ks_all = [k for k in range(3) if k not in l_set]
 
-    # g_kl vectors (bavoxel.hpp:372-378)
-    Xul = sm.matvec(X, u_l[:, None])                  # (G, W, 4)
-    # g1[g,k,w,e] = sum_a Uk[g,k,e,a] Xul[g,w,a]
-    g1 = jnp.sum(
-        Uk[:, :, None, :, :] * Xul[:, None, :, None, :], axis=-1
-    )                                                 # (G, 3, W, 6)
-    UlX = sm.matmul(Ul[:, None], X)                   # (G, W, 6, 3)
-    # g2[g,k,w,e] = sum_b UlX[g,w,e,b] uT[g,k,b]
-    g2 = jnp.sum(
-        UlX[:, None] * uT[:, :, None, None, :], axis=-1
-    )                                                 # (G, 3, W, 6)
-    g_kl = (g1 + g2) * inv_NN[..., None, None]
-
-    # a_i = U_l (TC_i) e_3 (bavoxel.hpp:380 UlTCF), (G, W, 6)
-    a = sm.matvec(Ul[:, None], TC[..., :, 3])
-
-    # block-diagonal corrections (bavoxel.hpp:385-401):
-    #   Hb = 2/NN U_l TCT_i U_l^T
-    UlTCT = sm.matmul(Ul[:, None], TCT)               # (G, W, 6, 4)
-    Hb = sm.matmul(UlTCT, Ul[:, None], transpose_b=True)  # (G, W, 6, 6)
-    Hb = Hb * (2.0 * inv_NN)[..., None, None]
-    #   Ell = 1/NN hat(X[:3,:3] u_l) hat(u_l)  (bavoxel.hpp:387)
-    y = sm.matvec(X[..., :3, :], u_l[:, None])        # (G, W, 3)
-    Ell = sm.matmul(
-        lie.hat(y), lie.hat(u_l)[:, None]
-    ) * inv_NN[..., None, None]
+    jvec_total = jnp.zeros((G, W, 6), dtype)
     Dblk = jnp.zeros((G, W, 6, 6), dtype)
-    Dblk = Dblk.at[..., :3, :3].add(Ell + jnp.swapaxes(Ell, -1, -2))
-    Dblk = Dblk + Hb
+    row_groups = []
 
-    # gradient vectors per (plane, pose)
-    jvec = g_kl[:, 0]                                  # (G, W, 6)
+    for l in l_set:
+        u_l = U[..., :, l]                   # (G, 3)
+        Ul = Uk[:, l]                        # (G, 6, 4)
 
-    if centered:
-        # map covectors back from the shifted frame (see module docstring)
-        c = f.centers[:, None, :]
-        a = lie.adjoint_translation_vec(a, c)
-        jvec = lie.adjoint_translation_vec(jvec, c)
-        g_k = lie.adjoint_translation_vec(
-            g_kl[:, 1:].reshape(G, 2 * W, 6), f.centers[:, None, :]
-        ).reshape(G, 2, W, 6)
-        Dblk = lie.adjoint_translation_mat(Dblk, c)
-        # exact second-order chain term of the conjugated left-update chart
-        Dblk = Dblk.at[..., :3, :3].add(
-            lie.centering_hessian_correction(jvec[..., 3:], c)
+        # g_kl vectors (bavoxel.hpp:372-378)
+        Xul = sm.matvec(X, u_l[:, None])              # (G, W, 4)
+        g1 = jnp.sum(
+            Uk[:, :, None, :, :] * Xul[:, None, :, None, :], axis=-1
+        )                                             # (G, 3, W, 6)
+        UlX = sm.matmul(Ul[:, None], X)               # (G, W, 6, 3)
+        g2 = jnp.sum(
+            UlX[:, None] * uT[:, :, None, None, :], axis=-1
+        )                                             # (G, 3, W, 6)
+        g_kl = (g1 + g2) * inv_NN[..., None, None]
+
+        # a_i = U_l (TC_i) e_3 (bavoxel.hpp:380 UlTCF), (G, W, 6)
+        a = sm.matvec(Ul[:, None], TC[..., :, 3])
+
+        # block-diagonal corrections (bavoxel.hpp:385-401)
+        UlTCT = sm.matmul(Ul[:, None], TCT)           # (G, W, 6, 4)
+        Hb = sm.matmul(UlTCT, Ul[:, None], transpose_b=True)
+        Hb = Hb * (2.0 * inv_NN)[..., None, None]
+        y = sm.matvec(X[..., :3, :], u_l[:, None])    # (G, W, 3)
+        Ell = sm.matmul(
+            lie.hat(y), lie.hat(u_l)[:, None]
+        ) * inv_NN[..., None, None]
+        Dl = jnp.zeros((G, W, 6, 6), dtype)
+        Dl = Dl.at[..., :3, :3].add(Ell + jnp.swapaxes(Ell, -1, -2))
+        Dl = Dl + Hb
+
+        jvec = g_kl[:, l]                             # (G, W, 6)
+        g_k = jnp.stack([g_kl[:, k] for k in ks_all], axis=1)
+
+        if centered:
+            c = f.centers[:, None, :]
+            a = lie.adjoint_translation_vec(a, c)
+            jvec = lie.adjoint_translation_vec(jvec, c)
+            g_k = lie.adjoint_translation_vec(
+                g_k.reshape(G, len(ks_all) * W, 6), c
+            ).reshape(G, len(ks_all), W, 6)
+            Dl = lie.adjoint_translation_mat(Dl, c)
+            # exact second-order chain term of the conjugated left chart
+            Dl = Dl.at[..., :3, :3].add(
+                lie.centering_hessian_correction(jvec[..., 3:], c)
+            )
+
+        jvec_total = jvec_total + jvec
+        Dblk = Dblk + Dl
+
+        # eigen-gap weights to the COMPLEMENT of l_set
+        # (bavoxel.hpp:390-392; intra-set terms cancel pairwise)
+        gapk = jnp.stack([lam[..., k] - lam[..., l] for k in ks_all], axis=-1)
+        wk = jnp.where(
+            gapk > gap_eps * scale[..., None],
+            2.0 * coe[..., None] / jnp.maximum(gapk, 1e-30), 0.0,
         )
-    else:
-        g_k = g_kl[:, 1:]                              # (G, 2, W, 6)
+        wa = 2.0 * coe / (NNs * NNs)
+        row_groups.append(
+            (jnp.sqrt(wa)[:, None, None] * a).reshape(G, 6 * W)[:, None, :]
+        )
+        row_groups.append(
+            (jnp.sqrt(wk)[..., None, None] * g_k).reshape(
+                G, len(ks_all), 6 * W
+            )
+        )
 
     # gradient (bavoxel.hpp:381)
-    JacT = jnp.sum(coe[:, None, None] * jvec, axis=0).reshape(6 * W)
-
-    # eigen-gap weights: 2/(lam0 - lamk) = -2/gap_k  (bavoxel.hpp:390-392)
-    scale = jnp.maximum(lam[..., 2], 1e-30)
-    gap = lam[..., 1:] - lam[..., 0:1]                 # (G, 2) >= 0
-    wk = jnp.where(gap > gap_eps * scale[..., None], 2.0 * coe[..., None] / jnp.maximum(gap, 1e-30), 0.0)
-    wa = 2.0 * coe / (NNs * NNs)
+    JacT = jnp.sum(coe[:, None, None] * jvec_total, axis=0).reshape(6 * W)
 
     # stack scaled rows -> one big MXU matmul gives ALL (i, j) blocks at once
-    rows = jnp.concatenate(
-        [
-            (jnp.sqrt(wa)[:, None, None] * a).reshape(G, 6 * W)[:, None, :],
-            (jnp.sqrt(wk)[..., None, None] * g_k).reshape(G, 2, 6 * W),
-        ],
-        axis=1,
-    ).reshape(3 * G, 6 * W)
+    rows = jnp.concatenate(row_groups, axis=1)
+    rows = rows.reshape(rows.shape[0] * rows.shape[1], 6 * W)
     H = -(rows.T @ rows)
 
     # add block-diagonal corrections

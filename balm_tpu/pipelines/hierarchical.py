@@ -1,0 +1,150 @@
+"""Hierarchical (HBA / Voxel-SLAM style) global bundle adjustment.
+
+The reference caps its window at W = 177 poses with one dense (6W)^2 solve
+(bavoxel.hpp:1104-1157); its README points to HBA as the application for
+large maps.  This module is the from-scratch large-W design
+(BASELINE.json configs[4]):
+
+  1. BOTTOM: partition the trajectory into overlapping keyframe blocks.
+     Every block is an independent small BA (voxelize + damped Newton in
+     the block-anchor frame).  Blocks are embarrassingly parallel — on a
+     pod slice they map onto the device mesh as data parallelism over the
+     block axis, factor-sharding inside each block.
+  2. TOP: freeze the refined intra-block geometry, merge each block's
+     scans into one "super-scan" in its anchor frame, and run BA over the
+     n_blocks anchor poses only.  The (6 n_blocks)^2 normal equations are
+     a factor (W/stride)^2 smaller than the flat problem.
+  3. COMPOSE: scan pose = refined anchor o refined intra-block relative
+     pose; an optional flat polishing pass follows for moderate W.
+
+Recursing step 2 gives O(log W) levels for arbitrarily long trajectories.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import SolverConfig, VoxelConfig
+from ..ops import factors as Fmod
+from ..ops import lie
+from ..solver import lm
+from ..voxel import grid
+
+
+@dataclasses.dataclass
+class HierarchicalConfig:
+    block: int = 10              # keyframes per block
+    stride: int = 8              # block start spacing (block - stride overlap)
+    voxel: VoxelConfig = VoxelConfig(min_observers=2)
+    top_voxel: VoxelConfig = VoxelConfig(min_observers=2)
+    solver: SolverConfig = SolverConfig(
+        max_iters=10, u_init=0.01, min_planes_per_pose=1
+    )
+    top_solver: SolverConfig = SolverConfig(
+        max_iters=10, u_init=0.01, min_planes_per_pose=1
+    )
+    # final flat refinement over all poses (skip for very large W)
+    polish: bool = True
+    polish_solver: SolverConfig = SolverConfig(
+        max_iters=5, u_init=0.01, min_planes_per_pose=1
+    )
+    # downsample super-scans before the top-level association
+    super_downsample: float = 0.0
+
+
+def _solve_window(scans, R, p, vcfg, scfg):
+    vres = grid.voxelize(list(scans), R, p, vcfg, dtype=np.float64)
+    if vres.num_planes == 0:
+        return R, p, 0
+    fj = Fmod.PlaneFactors(*[jnp.asarray(x) for x in vres.factors])
+    res = lm.damping_iter(jnp.asarray(R), jnp.asarray(p), fj, scfg)
+    return np.asarray(res.R), np.asarray(res.p), vres.num_planes
+
+
+def run(
+    scans: Sequence[np.ndarray],
+    R: np.ndarray,
+    p: np.ndarray,
+    cfg: HierarchicalConfig = HierarchicalConfig(),
+    *,
+    verbose: bool = False,
+):
+    """Returns (R, p, info dict)."""
+    W = len(scans)
+    R = np.asarray(R, np.float64).copy()
+    p = np.asarray(p, np.float64).copy()
+    info = {"blocks": [], "W": W}
+
+    starts = list(range(0, max(W - cfg.block, 0) + 1, cfg.stride))
+    if not starts or starts[-1] + cfg.block < W:
+        starts.append(max(W - cfg.block, 0))
+    starts = sorted(set(starts))
+    nb = len(starts)
+
+    # --- bottom level: per-block BA in anchor frames ---
+    rel_R = [None] * W   # refined pose of scan i relative to its OWNER anchor
+    rel_p = [None] * W
+    owner = np.empty(W, np.int64)
+    anchors = np.zeros(nb, np.int64)
+
+    for k, s0 in enumerate(starts):
+        idx = list(range(s0, min(s0 + cfg.block, W)))
+        anchors[k] = idx[0]
+        # block-local poses: anchor frame
+        Ra = R[idx[0]]
+        pa = p[idx[0]]
+        Rb = np.einsum("ba,nbc->nac", Ra, R[idx])
+        pb = np.einsum("ba,nb->na", Ra, p[idx] - pa)
+        Rb, pb, nplanes = _solve_window(
+            [scans[i] for i in idx], Rb, pb, cfg.voxel, cfg.solver
+        )
+        info["blocks"].append({"start": s0, "size": len(idx),
+                               "planes": nplanes})
+        for j, i in enumerate(idx):
+            if rel_R[i] is None or (s0 <= i < s0 + cfg.stride) or k == nb - 1:
+                owner[i] = k
+                rel_R[i] = Rb[j]
+                rel_p[i] = pb[j]
+
+    # --- top level: super-scans in anchor frames ---
+    super_scans = []
+    for k, s0 in enumerate(starts):
+        idx = [i for i in range(W) if owner[i] == k]
+        pts = []
+        for i in idx:
+            pts.append(scans[i] @ np.asarray(rel_R[i]).T + rel_p[i])
+        sp = np.concatenate(pts) if pts else np.zeros((0, 3))
+        if cfg.super_downsample > 0 and len(sp):
+            sp = grid.down_sample_voxel(sp, cfg.super_downsample)
+        super_scans.append(sp)
+
+    Ra0 = R[anchors]
+    pa0 = p[anchors]
+    Ra1, pa1, top_planes = _solve_window(
+        super_scans, Ra0, pa0, cfg.top_voxel, cfg.top_solver
+    )
+    info["top_planes"] = top_planes
+    info["n_blocks"] = nb
+
+    # --- compose ---
+    for i in range(W):
+        k = owner[i]
+        R[i] = Ra1[k] @ rel_R[i]
+        p[i] = Ra1[k] @ rel_p[i] + pa1[k]
+
+    # --- optional flat polish ---
+    if cfg.polish:
+        R, p, nplanes = _solve_window(
+            list(scans), R, p, cfg.voxel, cfg.polish_solver
+        )
+        info["polish_planes"] = nplanes
+
+    # gauge anchor
+    Rj, pj = lie.gauge_fix(jnp.asarray(R), jnp.asarray(p))
+    if verbose:
+        print(f"hierarchical: {nb} blocks, top planes {top_planes}")
+    return np.asarray(Rj), np.asarray(pj), info

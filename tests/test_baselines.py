@@ -1,0 +1,81 @@
+"""Comparison baselines: the per-point BALM1 cost must match the cluster
+cost exactly (independent oracle), and both baseline optimizers must
+converge — slower than the production solver, as in the reference's
+comparison tables (SURVEY.md section 6)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from balm_tpu.baselines import balm1, ef
+from balm_tpu.config import SolverConfig
+from balm_tpu.ops import clusters, factors, lie
+from balm_tpu.pipelines import virtual
+from balm_tpu.solver import lm
+from balm_tpu.utils import metrics
+
+
+def setup(seed=0, win=6, surf=12, pts=25):
+    cfg = virtual.VirtualConfig(win_size=win, surf_size=surf, pts_size=pts,
+                                seed=seed)
+    R_gt, p_gt, body = virtual.generate(cfg)
+    R0, p0 = virtual.perturb(R_gt, p_gt, cfg)
+    f = virtual.build_factors(body, jnp.float64)
+    G, W, K, _ = body.shape
+    pf = balm1.PointPlanes(
+        points=jnp.asarray(body),
+        mask=jnp.ones((G, W, K)),
+        coe=f.coe,
+    )
+    return R_gt, p_gt, R0, p0, body, f, pf
+
+
+def test_point_residual_matches_cluster_residual():
+    _, _, R0, p0, body, f, pf = setup()
+    T = lie.pose_matrix(jnp.asarray(R0), jnp.asarray(p0))
+    r_cluster = factors.residual_only(T, f)
+    # cluster cost is coe * lambda0 of the UNNORMALIZED... both use cov;
+    # identical by construction
+    r_points = balm1.residual(jnp.asarray(R0), jnp.asarray(p0), pf)
+    assert jnp.allclose(r_cluster, r_points, rtol=1e-10)
+
+
+def test_balm1_autodiff_matches_cluster_derivatives():
+    _, _, R0, p0, body, f, pf = setup(seed=1, win=4, surf=8, pts=20)
+    R0 = jnp.asarray(R0)
+    p0 = jnp.asarray(p0)
+    T = lie.pose_matrix(R0, p0)
+    _, J, H = factors.evaluate(T, f)
+    _, J1, H1 = balm1.evaluate(R0, p0, pf)
+    assert jnp.allclose(J, J1, atol=1e-8 * float(jnp.max(jnp.abs(J))))
+    assert jnp.allclose(H, H1, atol=1e-7 * float(jnp.max(jnp.abs(H))))
+
+
+def test_balm1_baseline_converges():
+    R_gt, p_gt, R0, p0, body, f, pf = setup(seed=2)
+    R1, p1, res, iters = balm1.damping_iter(
+        jnp.asarray(R0), jnp.asarray(p0), pf
+    )
+    R1, p1 = lie.gauge_fix(R1, p1)
+    Rg, pg = lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
+    rot, tra = metrics.pose_rsme(R1, p1, Rg, pg)
+    assert float(rot) * 57.3 < 0.3
+    assert float(tra) < 0.02
+
+
+def test_ef_descends_but_slower_than_lm():
+    R_gt, p_gt, R0, p0, body, f, pf = setup(seed=3)
+    T0 = lie.pose_matrix(jnp.asarray(R0), jnp.asarray(p0))
+    res0 = float(factors.residual_only(T0, f))
+
+    Re, pe, res_ef, it_ef = ef.descend(
+        jnp.asarray(R0), jnp.asarray(p0), f, max_iters=50
+    )
+    assert res_ef < res0  # it descends
+
+    out = lm.damping_iter(
+        jnp.asarray(R0), jnp.asarray(p0), f,
+        SolverConfig(max_iters=20, u_init=0.1, min_planes_per_pose=1),
+    )
+    # LM reaches a lower (or equal) cost in far fewer iterations
+    assert float(out.residual) <= res_ef * (1 + 1e-6)
+    assert int(out.iters) < it_ef or res_ef > float(out.residual)

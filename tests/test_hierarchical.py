@@ -1,0 +1,103 @@
+"""Hierarchical BA oracle: long synthetic trajectory, block solve + anchor
+solve must approach the flat full-window solution."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from balm_tpu.config import SolverConfig, VoxelConfig
+from balm_tpu.ops import lie
+from balm_tpu.pipelines import hierarchical
+from balm_tpu.utils import metrics
+from balm_tpu.voxel import grid
+from balm_tpu.solver import lm
+from balm_tpu.ops import factors as Fmod
+
+
+def make_long_scene(W=32, n_planes=30, pts_per=120, seed=0):
+    """Drifting trajectory through a field of axis-aligned patches."""
+    rng = np.random.default_rng(seed)
+    # smooth trajectory
+    w_rates = rng.normal(0, 0.01, size=(W, 3))
+    v_rates = rng.normal(0, 0.15, size=(W, 3))
+    R = np.zeros((W, 3, 3))
+    p = np.zeros((W, 3))
+    R[0] = np.eye(3)
+    for i in range(1, W):
+        R[i] = R[i - 1] @ np.array(lie.so3_exp(jnp.asarray(w_rates[i])))
+        p[i] = p[i - 1] + v_rates[i]
+
+    centers = rng.uniform(-6, 6, size=(n_planes, 3))
+    centers = np.floor(centers) + 0.5
+    axes = rng.integers(0, 3, size=n_planes)
+    scans = []
+    for w in range(W):
+        pts = []
+        for g in range(n_planes):
+            uv = rng.uniform(-0.45, 0.45, size=(pts_per, 2))
+            th = rng.normal(0, 0.003, size=(pts_per, 1))
+            local = np.concatenate([uv, th], -1)
+            perm = np.roll(np.arange(3), axes[g] + 1)
+            world = local[:, perm] + centers[g]
+            body = (world - p[w]) @ R[w]
+            pts.append(body)
+        scans.append(np.concatenate(pts))
+    return R, p, scans
+
+
+def perturb_drift(R, p, seed, rot_deg=0.6, trans=0.05):
+    rng = np.random.default_rng(seed)
+    W = len(R)
+    drot = rng.normal(0, rot_deg / 57.3 / np.sqrt(3), size=(W, 3))
+    dtra = rng.normal(0, trans / np.sqrt(3), size=(W, 3))
+    Rn = np.einsum("wab,wbc->wac", R, np.array(lie.so3_exp(jnp.asarray(drot))))
+    return Rn, p + dtra
+
+
+def test_hierarchical_matches_flat():
+    R_gt, p_gt, scans = make_long_scene(seed=10)
+    R0, p0 = perturb_drift(R_gt, p_gt, seed=11)
+    Rg, pg = lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
+
+    rot0, tra0 = metrics.pose_rsme(
+        *lie.gauge_fix(jnp.asarray(R0), jnp.asarray(p0)), Rg, pg
+    )
+
+    cfg = hierarchical.HierarchicalConfig(
+        block=8, stride=6,
+        voxel=VoxelConfig(voxel_size=1.0, min_observers=2),
+        top_voxel=VoxelConfig(voxel_size=1.0, min_observers=2),
+    )
+    Rh, ph, info = hierarchical.run(scans, R0, p0, cfg)
+    roth, trah = metrics.pose_rsme(jnp.asarray(Rh), jnp.asarray(ph), Rg, pg)
+
+    # flat reference solve
+    vres = grid.voxelize(list(scans), R0, p0,
+                         VoxelConfig(voxel_size=1.0), dtype=np.float64)
+    fj = Fmod.PlaneFactors(*[jnp.asarray(x) for x in vres.factors])
+    flat = lm.damping_iter(
+        jnp.asarray(R0), jnp.asarray(p0), fj,
+        SolverConfig(max_iters=15, u_init=0.01, min_planes_per_pose=1),
+    )
+    rotf, traf = metrics.pose_rsme(flat.R, flat.p, Rg, pg)
+
+    assert info["n_blocks"] >= 4
+    # hierarchical must strongly reduce the initial error...
+    assert float(roth) < 0.25 * float(rot0)
+    assert float(trah) < 0.25 * float(tra0)
+    # ...and come close to the flat solution (within 2x its error,
+    # both being far below the initial error)
+    assert float(trah) < max(2.0 * float(traf), 0.005)
+
+
+def test_hierarchical_no_polish_still_good():
+    R_gt, p_gt, scans = make_long_scene(W=24, seed=12)
+    R0, p0 = perturb_drift(R_gt, p_gt, seed=13)
+    Rg, pg = lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
+    cfg = hierarchical.HierarchicalConfig(block=8, stride=6, polish=False)
+    Rh, ph, info = hierarchical.run(scans, R0, p0, cfg)
+    rot0, tra0 = metrics.pose_rsme(
+        *lie.gauge_fix(jnp.asarray(R0), jnp.asarray(p0)), Rg, pg
+    )
+    roth, trah = metrics.pose_rsme(jnp.asarray(Rh), jnp.asarray(ph), Rg, pg)
+    assert float(trah) < 0.4 * float(tra0)
