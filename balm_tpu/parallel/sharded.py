@@ -63,3 +63,37 @@ def shard_factors(f: PlaneFactors, mesh: Mesh) -> PlaneFactors:
 
 def replicate(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def evaluate_shard_map(T, f: PlaneFactors, mesh: Mesh, **kw):
+    """Explicit shard_map variant of ops.factors.evaluate.
+
+    Each device evaluates its local plane shard into private (6W, 6W)
+    normal equations; one psum over the factor axis forms the global
+    H/J/residual — the literal collective replacing the reference's
+    4-thread join + matrix add (bavoxel.hpp:1025-1059).  Numerically
+    identical to the GSPMD path (which XLA partitions the same way); this
+    form pins the communication pattern explicitly and is the template
+    for multi-host meshes.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from ..ops import factors as Fmod
+
+    def local(T, f):
+        res, J, H = Fmod.evaluate(T, f, **kw)
+        res = jax.lax.psum(res, FACTOR_AXIS)
+        J = jax.lax.psum(J, FACTOR_AXIS)
+        H = jax.lax.psum(H, FACTOR_AXIS)
+        return res, J, H
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(FACTOR_AXIS)),
+        out_specs=(P(), P(), P()),
+    )
+    return fn(T, f)

@@ -51,6 +51,32 @@ def test_sharded_lm_matches(mesh8):
     assert np.allclose(np.array(res0.p), np.array(res1.p), atol=1e-9)
 
 
+def test_shard_map_evaluate_matches(mesh8):
+    R, p, f, _ = make_problem(G=16, W=4, seed=13)
+    T = lie.pose_matrix(R, p)
+    res0, J0, H0 = factors.evaluate(T, f)
+    fs = sharded.shard_factors(f, mesh8)
+    res1, J1, H1 = sharded.evaluate_shard_map(
+        sharded.replicate(T, mesh8), fs, mesh8
+    )
+    assert jnp.allclose(res0, res1, rtol=1e-12)
+    assert jnp.allclose(J0, J1, atol=1e-10 * float(jnp.max(jnp.abs(J0))))
+    assert jnp.allclose(H0, H1, atol=1e-10 * float(jnp.max(jnp.abs(H0))))
+
+
+def test_scaling_harness_runs(mesh8):
+    from balm_tpu.utils import scaling
+
+    R, p, f, _ = make_problem(G=16, W=4, seed=14)
+    out = scaling.measure(R, p, f, device_counts=[1, 8], repeats=1)
+    assert len(out) == 2
+    assert out[0]["devices"] == 1 and out[1]["devices"] == 8
+    # same optimum on any mesh
+    assert abs(out[0]["residual"] - out[1]["residual"]) < 1e-9 * abs(
+        out[0]["residual"]
+    )
+
+
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 
