@@ -1,1 +1,1 @@
-from . import balm1, ef
+from . import balm1, ef, pa

@@ -50,6 +50,7 @@ def _residual_eps(eps, R, p, f):
     return residual(Rn, pn, f)
 
 
+@jax.jit
 def evaluate(R, p, f: PointPlanes):
     """(residual, gradient, Hessian) by autodiff over the raw points."""
     W = R.shape[0]
@@ -58,6 +59,9 @@ def evaluate(R, p, f: PointPlanes):
     J = jax.grad(_residual_eps)(eps0, R, p, f)
     H = jax.hessian(_residual_eps)(eps0, R, p, f)
     return res, J, H
+
+
+_residual_jit = jax.jit(residual)
 
 
 def damping_iter(R, p, f: PointPlanes, max_iters=20, u=0.1, rel_tol=1e-6):
@@ -73,7 +77,7 @@ def damping_iter(R, p, f: PointPlanes, max_iters=20, u=0.1, rel_tol=1e-6):
         D = jnp.diag(jnp.diag(H))
         dx = jnp.linalg.solve(H + u * D, -J)
         Rt, pt = lie.se3_left_update(R, p, dx.reshape(-1, 6))
-        res2 = residual(Rt, pt, f)
+        res2 = _residual_jit(Rt, pt, f)
         gain = float(res1 - res2)
         if gain > 0:
             R, p = Rt, pt

@@ -12,17 +12,21 @@ step = -alpha/N J with <= max_iters iterations).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import factors as Fmod
 from ..ops import lie
+
+_eval = jax.jit(lambda T, f: Fmod.evaluate(T, f))
+_res = jax.jit(lambda T, f: Fmod.residual_only(T, f))
 
 
 def descend(R, p, f: Fmod.PlaneFactors, *, max_iters=200, alpha=1.0,
             halvings=12, rel_tol=1e-8):
     """Gradient descent with backtracking. Returns (R, p, residual, iters)."""
     T = lie.pose_matrix(R, p)
-    res1, J, _ = Fmod.evaluate(T, f)
+    res1, J, _ = _eval(T, f)
     npts = jnp.maximum(jnp.sum(f.C[..., 3, 3]), 1.0)
     it = 0
     for it in range(max_iters):
@@ -31,7 +35,7 @@ def descend(R, p, f: Fmod.PlaneFactors, *, max_iters=200, alpha=1.0,
         for _ in range(halvings):
             dx = (-step * J).reshape(-1, 6)
             Rt, pt = lie.se3_left_update(R, p, dx)
-            res2 = float(Fmod.residual_only(lie.pose_matrix(Rt, pt), f))
+            res2 = float(_res(lie.pose_matrix(Rt, pt), f))
             if res2 < float(res1):
                 accepted = True
                 break
@@ -44,5 +48,5 @@ def descend(R, p, f: Fmod.PlaneFactors, *, max_iters=200, alpha=1.0,
             break
         res1 = res2
         T = lie.pose_matrix(R, p)
-        _, J, _ = Fmod.evaluate(T, f)
+        _, J, _ = _eval(T, f)
     return R, p, float(res1), it + 1

@@ -90,10 +90,10 @@ def evaluate_shard_map(T, f: PlaneFactors, mesh: Mesh, **kw):
         H = jax.lax.psum(H, FACTOR_AXIS)
         return res, J, H
 
-    fn = shard_map(
+    fn = jax.jit(shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(FACTOR_AXIS)),
         out_specs=(P(), P(), P()),
-    )
+    ))
     return fn(T, f)

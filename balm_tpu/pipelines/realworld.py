@@ -41,6 +41,9 @@ class RealworldConfig:
     dtype: str = "float64"
     centered: bool = False     # enable for the f32 fast path
     downsample: float = 0.0    # optional voxel downsample of input scans
+    # write refined trajectory (reference CSV format) + convergence curve
+    # ("time cost" per accepted iteration, the Supplementary/data format)
+    export_dir: Optional[str] = None
 
 
 def load(cfg: RealworldConfig):
@@ -105,6 +108,29 @@ def run(cfg: RealworldConfig = RealworldConfig(), *, verbose: bool = False):
         residual_initial=float(res.trace_res1[0]),
         result=res,
     )
+
+    if cfg.export_dir is not None:
+        import pathlib as _pl
+
+        from ..utils import checkpoint
+
+        out = _pl.Path(cfg.export_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        checkpoint.write_pose_csv(
+            out / "refined_poses.csv", np.asarray(res.R), np.asarray(res.p)
+        )
+        # convergence curve in the Supplementary/data format:
+        # "cumulative_time(s) cost" per accepted iteration
+        # (Supplementary/data/readme.txt)
+        n = int(res.iters)
+        accepted = np.array(res.trace_accept)[:n] > 0.5
+        costs = np.array(res.trace_res2)[:n][accepted]
+        per_iter = t_solve / max(n, 1)
+        with open(out / "convergence.txt", "w") as fh:
+            fh.write(f"0.0 {summary['residual_initial']:.6f}\n")
+            for k, cst in enumerate(costs):
+                fh.write(f"{(k + 1) * per_iter:.4f} {cst:.6f}\n")
+        summary["export_dir"] = str(out)
     if verbose:
         print(lm.format_trace(res))
         for k, v in summary.items():

@@ -119,12 +119,18 @@ def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
         D = jnp.diag(H)
         A = H + c.u * jnp.diag(D)
         if linear_solver == "cholesky":
-            # H + uD is PD except for badly indefinite early steps; a
-            # failed factorization yields NaN dx -> trial residual NaN ->
-            # LM rejects and raises u, which restores definiteness.  Much
-            # faster than LU on TPU (no pivoting).
+            # Cholesky is much faster than LU on TPU (no pivoting), but the
+            # exact Newton H + uD can be indefinite far from the optimum
+            # (the reference's LDLT handles that, bavoxel.hpp:1114).  Fast
+            # path: factorize; if the step comes back non-finite, fall back
+            # to the pivoted LU solve for this iteration only.
             L = jax.scipy.linalg.cho_factor(A, lower=True)
-            dx = jax.scipy.linalg.cho_solve(L, -J)
+            dx_c = jax.scipy.linalg.cho_solve(L, -J)
+            dx = jax.lax.cond(
+                jnp.all(jnp.isfinite(dx_c)),
+                lambda: dx_c,
+                lambda: jnp.linalg.solve(A, -J),
+            )
         else:
             dx = jnp.linalg.solve(A, -J)
 

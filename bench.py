@@ -43,12 +43,17 @@ def main():
     res.R.block_until_ready()
     assert float(res.trace_res1[0]) > 0, "residual must be positive"
 
-    dt = float("inf")
-    for _ in range(3):
+    # the tunneled TPU shows heavy contention variance; take the best of
+    # several spaced repeats (best = least-contended = hardware capability)
+    times = []
+    for k in range(8):
         t0 = time.perf_counter()
         res = lm.damping_iter(R, p, f, solver_cfg, centered=True)
         res.R.block_until_ready()
-        dt = min(dt, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+        if k == 3:
+            time.sleep(2.0)
+    dt = min(times)
     iters = max(int(res.iters), 1)
     ips = iters / dt
 
@@ -63,7 +68,8 @@ def main():
                     "scans": int(len(scans)),
                     "planes": int(vres.num_planes),
                     "iters": iters,
-                    "total_s": round(dt, 3),
+                    "total_s": round(dt, 4),
+                    "all_times_s": [round(t, 4) for t in times],
                     "residual_initial": float(res.trace_res1[0]),
                     "residual_final": float(res.residual),
                     "dtype": dtype,

@@ -79,3 +79,35 @@ def test_ef_descends_but_slower_than_lm():
     # LM reaches a lower (or equal) cost in far fewer iterations
     assert float(out.residual) <= res_ef * (1 + 1e-6)
     assert int(out.iters) < it_ef or res_ef > float(out.residual)
+
+
+def test_pa_baseline_converges():
+    from balm_tpu.baselines import pa
+
+    R_gt, p_gt, R0, p0, body, f, pf = setup(seed=4)
+    R1, p1, cost, iters = pa.alternate(R0, p0, f, outer_iters=15)
+    Rg, pg = lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
+    rot, tra = metrics.pose_rsme(R1, p1, Rg, pg)
+    assert float(rot) * 57.3 < 0.3
+    assert float(tra) < 0.02
+
+
+def test_pa_plane_refit_is_optimal():
+    """The closed-form refit must beat any perturbed plane."""
+    import numpy as np
+    from balm_tpu.baselines import pa
+
+    _, _, R0, p0, body, f, pf = setup(seed=5, win=4, surf=6, pts=20)
+    T = lie.pose_matrix(jnp.asarray(R0), jnp.asarray(p0))
+    n, d = pa.refit_planes(T, f)
+    base = float(pa._pose_cost(jnp.zeros(4 * 6), jnp.asarray(R0),
+                               jnp.asarray(p0), f, n, d))
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        dn = jnp.asarray(rng.normal(0, 0.01, size=n.shape))
+        n2 = n + dn
+        n2 = n2 / jnp.linalg.norm(n2, axis=-1, keepdims=True)
+        d2 = d + jnp.asarray(rng.normal(0, 0.01, size=d.shape))
+        c2 = float(pa._pose_cost(jnp.zeros(4 * 6), jnp.asarray(R0),
+                                 jnp.asarray(p0), f, n2, d2))
+        assert c2 >= base - 1e-9

@@ -21,7 +21,7 @@ def mesh8():
 
 
 def test_sharded_evaluate_matches(mesh8):
-    R, p, f, _ = make_problem(G=13, W=4, seed=11)
+    R, p, f, _ = make_problem(G=13, W=3, K=15, seed=11)
     T = lie.pose_matrix(R, p)
     res0, J0, H0 = factors.evaluate(T, f)
 
@@ -37,8 +37,8 @@ def test_sharded_evaluate_matches(mesh8):
 
 
 def test_sharded_lm_matches(mesh8):
-    R, p, f, _ = make_problem(G=16, W=4, seed=12)
-    cfg = SolverConfig(max_iters=5, u_init=0.1, min_planes_per_pose=1)
+    R, p, f, _ = make_problem(G=16, W=3, K=15, seed=12)
+    cfg = SolverConfig(max_iters=2, u_init=0.1, min_planes_per_pose=1)
     res0 = lm.damping_iter(R, p, f, cfg)
 
     fs = sharded.shard_factors(f, mesh8)
@@ -52,7 +52,7 @@ def test_sharded_lm_matches(mesh8):
 
 
 def test_shard_map_evaluate_matches(mesh8):
-    R, p, f, _ = make_problem(G=16, W=4, seed=13)
+    R, p, f, _ = make_problem(G=16, W=3, K=15, seed=13)
     T = lie.pose_matrix(R, p)
     res0, J0, H0 = factors.evaluate(T, f)
     fs = sharded.shard_factors(f, mesh8)
@@ -67,8 +67,12 @@ def test_shard_map_evaluate_matches(mesh8):
 def test_scaling_harness_runs(mesh8):
     from balm_tpu.utils import scaling
 
-    R, p, f, _ = make_problem(G=16, W=4, seed=14)
-    out = scaling.measure(R, p, f, device_counts=[1, 8], repeats=1)
+    R, p, f, _ = make_problem(G=16, W=3, K=15, seed=14)
+    out = scaling.measure(
+        R, p, f, device_counts=[1, 8], repeats=1,
+        solver_cfg=SolverConfig(max_iters=2, u_init=0.1, rel_tol=0.0,
+                                min_planes_per_pose=1),
+    )
     assert len(out) == 2
     assert out[0]["devices"] == 1 and out[1]["devices"] == 8
     # same optimum on any mesh
