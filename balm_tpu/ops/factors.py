@@ -158,15 +158,19 @@ def _shifted_poses(T, f: PlaneFactors):
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def _shifted_fix(f: PlaneFactors):
+    """Recenter the world-frame fixed moment: S Cfix S^T."""
+    S = jnp.broadcast_to(
+        jnp.eye(4, dtype=f.Cfix.dtype), f.Cfix.shape
+    ).at[..., :3, 3].set(-f.centers)
+    return S @ f.Cfix @ jnp.swapaxes(S, -1, -2)
+
+
 def _plane_moment(T, f: PlaneFactors, centered: bool):
     """Common prefix: world moments, eigen decomposition inputs."""
     if centered:
         Tg = _shifted_poses(T, f)
-        # recenter the world-frame fixed moment too: S Cfix S^T
-        S = jnp.broadcast_to(
-            jnp.eye(4, dtype=f.Cfix.dtype), f.Cfix.shape
-        ).at[..., :3, 3].set(-f.centers)
-        Cfix = S @ f.Cfix @ jnp.swapaxes(S, -1, -2)
+        Cfix = _shifted_fix(f)
         TC = sm.matmul(Tg, f.C)
         TCT = sm.matmul(TC, Tg, transpose_b=True)
     else:
@@ -314,7 +318,8 @@ def _evaluate_right_impl(T, f, use_lapack_eigh, gap_eps):
 
 
 def residual_only(T, f: PlaneFactors, *, centered: bool = False,
-                  use_lapack_eigh: bool = False, l_set=(0,)):
+                  use_lapack_eigh: bool = False, l_set=(0,),
+                  use_pallas: bool = False, pallas_interpret: bool = False):
     """Total cost sum_g coe_g * sum_{l in l_set} lambda_l(g).
 
     Reference: evaluate_only_residual (bavoxel.hpp:428-470).
@@ -322,9 +327,25 @@ def residual_only(T, f: PlaneFactors, *, centered: bool = False,
     All matmuls run at full f32 precision: the TPU default (bf16 MXU
     passes) loses ~4e-3 relative on the moment products, fatal for
     lambda_0 which is a tiny difference of O(1) covariance entries.
+
+    use_pallas (centered mode only): fuse the moment accumulation into
+    the Pallas kernel (ops/pallas_moments.py) — skips the (G, W, 4, 4)
+    HBM intermediates.
     """
     with jax.default_matmul_precision("float32"):
-        _, _, _, _, NN, _, covM = _plane_moment(T, f, centered)
+        if use_pallas and centered:
+            from . import pallas_moments
+
+            Csum = pallas_moments.residual_moments(
+                T, f, interpret=pallas_interpret
+            ) + _shifted_fix(f)
+            NN = Csum[..., 3, 3]
+            NNs = jnp.where(NN > 0.5, NN, 1.0)
+            Cn = Csum / NNs[..., None, None]
+            vbar = Cn[..., :3, 3]
+            covM = Cn[..., :3, :3] - vbar[..., :, None] * vbar[..., None, :]
+        else:
+            _, _, _, _, NN, _, covM = _plane_moment(T, f, centered)
         if use_lapack_eigh:
             lam = jnp.linalg.eigvalsh(covM)
         else:
