@@ -34,6 +34,11 @@ class PointPlanes(NamedTuple):
 
 def residual(R, p, f: PointPlanes):
     """sum_g coe_g lambda_0(cov of world points of plane g)."""
+    with jax.default_matmul_precision("float32"):
+        return _residual_impl(R, p, f)
+
+
+def _residual_impl(R, p, f: PointPlanes):
     world = jnp.einsum("wab,gwkb->gwka", R, f.points) + p[None, :, None, :]
     m = f.mask[..., None]
     n = jnp.maximum(jnp.sum(f.mask, axis=(1, 2)), 1.0)

@@ -50,6 +50,11 @@ def refit_planes(T, f: Fmod.PlaneFactors):
 
 
 def _pose_cost(eps, R, p, f, n, d):
+    with jax.default_matmul_precision("float32"):
+        return _pose_cost_impl(eps, R, p, f, n, d)
+
+
+def _pose_cost_impl(eps, R, p, f, n, d):
     W = R.shape[0]
     Rn, pn = lie.se3_left_update(R, p, eps.reshape(W, 6))
     T = lie.pose_matrix(Rn, pn)

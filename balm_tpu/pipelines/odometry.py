@@ -105,6 +105,11 @@ class VoxelPlaneMap:
 @jax.jit
 def _gn_point_to_plane(R, p, pts, normals, centers, wgt):
     """One Gauss-Newton step on sum wgt (n . (R x + p - c))^2."""
+    with jax.default_matmul_precision("float32"):
+        return _gn_step(R, p, pts, normals, centers, wgt)
+
+
+def _gn_step(R, p, pts, normals, centers, wgt):
     x = pts @ R.T + p
     r = jnp.sum(normals * (x - centers), axis=-1)
     # left-perturbation jacobian rows: [x cross n ; n]

@@ -90,6 +90,20 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
 def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                       min_planes, gauge_fix, centered, use_lapack_eigh,
                       update, linear_solver):
+    # full f32 matmul precision for EVERYTHING in the loop: on TPU the
+    # default runs matmuls (pose composition, triangular solves) in bf16,
+    # which silently degrades steps and stalls convergence ~0.1% above
+    # the true optimum.
+    with jax.default_matmul_precision("float32"):
+        return _damping_iter_body(
+            R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
+            min_planes, gauge_fix, centered, use_lapack_eigh,
+            update, linear_solver)
+
+
+def _damping_iter_body(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
+                       min_planes, gauge_fix, centered, use_lapack_eigh,
+                       update, linear_solver):
     W = R.shape[0]
     dtype = R.dtype
     one_three = jnp.asarray(1.0 / 3.0, dtype)

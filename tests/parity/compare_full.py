@@ -1,0 +1,112 @@
+"""Full-scale head-to-head: reference BALM2 (C++, 4 threads) vs balm_tpu
+(f32-centered, one TPU chip) on the identical 177-scan problem.
+
+Produces artifacts/parity_realworld.json with timings, residuals, plane
+counts, and the ATE between both refined trajectories.
+
+Run from the repo root: python tests/parity/compare_full.py [max_scans]
+"""
+
+import json
+import pathlib
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+
+import jax.numpy as jnp  # noqa: E402
+
+from balm_tpu.config import SolverConfig, VoxelConfig  # noqa: E402
+from balm_tpu.ops import factors as Fmod  # noqa: E402
+from balm_tpu.pipelines import realworld  # noqa: E402
+from balm_tpu.solver import lm  # noqa: E402
+from balm_tpu.utils import metrics  # noqa: E402
+from balm_tpu.voxel import grid  # noqa: E402
+from tests.parity import run_reference as ref  # noqa: E402
+
+
+def main(max_scans=None, downsample=0.0):
+    assert ref.build()
+    cfg = realworld.RealworldConfig(max_scans=max_scans,
+                                    downsample=downsample)
+    R, p, scans = realworld.load(cfg)
+    n_pts = int(sum(len(s) for s in scans))
+    print(f"scans {len(scans)}, points {n_pts}", flush=True)
+
+    with tempfile.TemporaryDirectory() as td:
+        td = pathlib.Path(td)
+        ref.write_input(td / "in.bin", R, p, scans)
+        t0 = time.perf_counter()
+        Rr, pr, trace, planes_ref, _ = ref.run(
+            td / "in.bin", td / "out.bin", timeout=3000
+        )
+        t_ref = time.perf_counter() - t0
+    ref_iters = len(trace)
+    print(f"reference: {t_ref:.1f}s total, {planes_ref} planes, "
+          f"{ref_iters} iters", flush=True)
+
+    vcfg = VoxelConfig(voxel_size=1.0, eigen_ratio=(1 / 16, 1 / 16, 1 / 9))
+    t0 = time.perf_counter()
+    vres = grid.voxelize(scans, R, p, vcfg, dtype=np.float64)
+    t_assoc = time.perf_counter() - t0
+    f32 = Fmod.recenter_bodies(vres.factors).astype("float32")
+    scfg = SolverConfig(max_iters=10, u_init=0.01)
+    Rj = jnp.asarray(R, "float32")
+    pj = jnp.asarray(p, "float32")
+    out = lm.damping_iter(Rj, pj, f32, scfg, centered=True)  # compile
+    out.R.block_until_ready()
+    t_solve = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = lm.damping_iter(Rj, pj, f32, scfg, centered=True)
+        out.R.block_until_ready()
+        t_solve = min(t_solve, time.perf_counter() - t0)
+    print(f"ours: assoc {t_assoc:.1f}s, solve {t_solve:.3f}s "
+          f"({vres.num_planes} planes, {int(out.iters)} iters)", flush=True)
+
+    rot, tra = metrics.pose_rsme(
+        out.R.astype(jnp.float64), out.p.astype(jnp.float64),
+        jnp.asarray(Rr), jnp.asarray(pr),
+    )
+    result = {
+        "scans": len(scans),
+        "points": n_pts,
+        "reference": {
+            "total_s": round(t_ref, 2),
+            "assoc_s": _.timings.get("t_assoc"),
+            "solve_s": _.timings.get("t_solve"),
+            "planes": planes_ref,
+            "iters": ref_iters,
+            "residual_initial": trace[0][1] if trace else None,
+            "residual_final": trace[-1][2] if trace else None,
+        },
+        "ours_tpu_f32": {
+            "assoc_s": round(t_assoc, 2),
+            "solve_s": round(t_solve, 4),
+            "planes": int(vres.num_planes),
+            "iters": int(out.iters),
+            "residual_initial": float(out.trace_res1[0]),
+            "residual_final": float(out.residual),
+        },
+        "ate_vs_reference_rot_deg": float(rot) * 57.2958,
+        "ate_vs_reference_trans_m": float(tra),
+        "solve_speedup_vs_reference": (
+            round(_.timings["t_solve"] / t_solve, 1)
+            if "t_solve" in _.timings else None
+        ),
+        "end_to_end_speedup": round(t_ref / (t_assoc + t_solve), 1),
+    }
+    outp = pathlib.Path("artifacts")
+    outp.mkdir(exist_ok=True)
+    with open(outp / "parity_realworld.json", "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    ms = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    ds = float(sys.argv[2]) if len(sys.argv) > 2 else 0.0
+    main(ms, ds)
