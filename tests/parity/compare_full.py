@@ -40,7 +40,7 @@ def main(max_scans=None, downsample=0.0):
         td = pathlib.Path(td)
         ref.write_input(td / "in.bin", R, p, scans)
         t0 = time.perf_counter()
-        Rr, pr, trace, planes_ref, _ = ref.run(
+        Rr, pr, trace, planes_ref, proc = ref.run(
             td / "in.bin", td / "out.bin", timeout=3000
         )
         t_ref = time.perf_counter() - t0
@@ -76,8 +76,8 @@ def main(max_scans=None, downsample=0.0):
         "points": n_pts,
         "reference": {
             "total_s": round(t_ref, 2),
-            "assoc_s": _.timings.get("t_assoc"),
-            "solve_s": _.timings.get("t_solve"),
+            "assoc_s": proc.timings.get("t_assoc"),
+            "solve_s": proc.timings.get("t_solve"),
             "planes": planes_ref,
             "iters": ref_iters,
             "residual_initial": trace[0][1] if trace else None,
@@ -94,8 +94,8 @@ def main(max_scans=None, downsample=0.0):
         "ate_vs_reference_rot_deg": float(rot) * 57.2958,
         "ate_vs_reference_trans_m": float(tra),
         "solve_speedup_vs_reference": (
-            round(_.timings["t_solve"] / t_solve, 1)
-            if "t_solve" in _.timings else None
+            round(proc.timings["t_solve"] / t_solve, 1)
+            if "t_solve" in proc.timings else None
         ),
         "end_to_end_speedup": round(t_ref / (t_assoc + t_solve), 1),
     }
