@@ -2,11 +2,10 @@
 
 Metric: LM iterations/sec on the real-world 177-scan benchmark's factor
 problem (full Hessian+gradient evaluation + solve + trial residual per
-iteration).  Baseline: the reference's 4-thread C++ evaluator takes ~1-2 s
-per iteration on this problem on a desktop CPU (Supplementary data places
-BALM2 at ~10-60 s total for comparable hilti/viral sequences, ~10-20
-accepted iterations -> ~1 s/iter); vs_baseline is measured against 1.0
-iter/s.
+iteration).  Baseline: the REFERENCE BALM2 solver itself, compiled and
+measured on THIS machine via tests/parity/ (artifacts/
+parity_realworld.json): 4 LM iterations in 9.75 s with 4 threads on the
+same 5529-plane problem -> 0.41 iter/s.
 """
 
 import json
@@ -14,7 +13,7 @@ import time
 
 import numpy as np
 
-BASELINE_ITERS_PER_SEC = 1.0
+BASELINE_ITERS_PER_SEC = 0.41
 
 
 def main():
