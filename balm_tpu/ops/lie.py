@@ -108,6 +108,47 @@ def so3_log(R):
     return jnp.where(near_pi[..., None], w_pi, w_generic)
 
 
+def so3_jr(w):
+    """Right Jacobian of SO(3) (reference jr, tools.hpp:108-122;
+    defined-but-unused in the reference's main BA path, carried for API
+    completeness).  Batched (..., 3) -> (..., 3, 3)."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    small = theta2 < _SMALL
+    t2s = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(t2s)
+    ra = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    rb = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / t2s)
+    axis = w / jnp.where(small, 1.0, theta)[..., None]
+    eye = jnp.eye(3, dtype=w.dtype)
+    aa = axis[..., :, None] * axis[..., None, :]
+    return (
+        ra[..., None, None] * eye
+        + (1.0 - ra)[..., None, None] * aa
+        - (rb * theta)[..., None, None] * hat(axis)
+    )
+
+
+def so3_jr_inv(w):
+    """Inverse right Jacobian (reference jr_inv, tools.hpp:124-139), from
+    the axis-angle vector rather than the rotation matrix."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    small = theta2 < _SMALL
+    t2s = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(t2s)
+    half = 0.5 * theta
+    ctt = jnp.where(
+        small, 1.0 - theta2 / 12.0, half / jnp.tan(half)
+    )
+    axis = w / jnp.where(small, 1.0, theta)[..., None]
+    eye = jnp.eye(3, dtype=w.dtype)
+    aa = axis[..., :, None] * axis[..., None, :]
+    return (
+        ctt[..., None, None] * eye
+        + (1.0 - ctt)[..., None, None] * aa
+        + half[..., None, None] * hat(axis)
+    )
+
+
 def pose_matrix(R, p):
     """(R, p) -> homogeneous (..., 4, 4)."""
     batch = jnp.broadcast_shapes(R.shape[:-2], p.shape[:-1])

@@ -291,6 +291,12 @@ def _assemble(C_all, centers_all, layers_all, decisions_all, point_leaf,
     )
 
 
+def down_sample_stride(points: np.ndarray, stride: int) -> np.ndarray:
+    """Keep every stride-th point (reference down_sampling_serie,
+    tools.hpp:244-254)."""
+    return points[:: max(int(stride), 1)]
+
+
 def down_sample_voxel(points: np.ndarray, voxel_size: float) -> np.ndarray:
     """Voxel-grid centroid downsampling (reference down_sampling_voxel,
     tools.hpp:203-242)."""

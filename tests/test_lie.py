@@ -80,6 +80,27 @@ def test_left_update_and_gauge_fix():
     assert jnp.allclose(rel_before, rel_after, atol=1e-12)
 
 
+def test_right_jacobian_identities():
+    """jr(w) jr_inv(w) = I and the defining property
+    Exp(w + dw) ~ Exp(w) Exp(jr(w) dw)."""
+    rng = np.random.default_rng(9)
+    w = jnp.asarray(rng.normal(size=(16, 3)))
+    J = lie.so3_jr(w)
+    Ji = lie.so3_jr_inv(w)
+    assert jnp.allclose(J @ Ji, jnp.eye(3), atol=1e-10)
+
+    dw = jnp.asarray(rng.normal(size=(16, 3)) * 1e-6)
+    lhs = lie.so3_exp(w + dw)
+    rhs = lie.so3_exp(w) @ lie.so3_exp(
+        jnp.einsum("nij,nj->ni", J, dw)
+    )
+    assert jnp.allclose(lhs, rhs, atol=1e-10)
+
+    # small-angle limit
+    J0 = lie.so3_jr(jnp.zeros(3))
+    assert jnp.allclose(J0, jnp.eye(3), atol=1e-12)
+
+
 def test_adjoint_translation_consistency():
     """Gradient mapping through the centering shift must match autodiff."""
     rng = np.random.default_rng(5)
