@@ -26,6 +26,7 @@ import dataclasses
 from typing import List, Optional, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import SolverConfig, VoxelConfig
@@ -54,6 +55,8 @@ class HierarchicalConfig:
     )
     # downsample super-scans before the top-level association
     super_downsample: float = 0.0
+    # solve all bottom-level blocks in ONE vmap-batched LM kernel
+    batched_bottom: bool = False
 
 
 def _solve_window(scans, R, p, vcfg, scfg):
@@ -63,6 +66,43 @@ def _solve_window(scans, R, p, vcfg, scfg):
     fj = Fmod.PlaneFactors(*[jnp.asarray(x) for x in vres.factors])
     res = lm.damping_iter(jnp.asarray(R), jnp.asarray(p), fj, scfg)
     return np.asarray(res.R), np.asarray(res.p), vres.num_planes
+
+
+def solve_blocks_batched(block_factors, Rs, ps, scfg: SolverConfig):
+    """Solve MANY equal-window blocks in ONE batched (vmap) LM kernel.
+
+    block_factors: list of PlaneFactors with identical window size; plane
+    axes are padded to the common maximum (padding contributes zero).
+    Rs (B, Wb, 3, 3), ps (B, Wb, 3).  Returns (B, Wb, 3, 3), (B, Wb, 3).
+
+    This is the TPU-native bottom level: the blocks' while_loops run in
+    lockstep under vmap (finished blocks keep iterating on converged
+    state, which is idempotent), so one kernel launch refines the whole
+    trajectory's blocks — and under a device mesh the batch axis shards
+    as data parallelism.
+    """
+    B = len(block_factors)
+    Gmax = max(f.num_planes for f in block_factors)
+    Gmax = -(-Gmax // 128) * 128
+
+    def pad(f):
+        G = f.num_planes
+        return Fmod.PlaneFactors(*[
+            jnp.zeros((Gmax,) + np.asarray(x).shape[1:],
+                      np.asarray(x).dtype).at[:G].set(jnp.asarray(x))
+            for x in f
+        ])
+
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[pad(f) for f in block_factors]
+    )
+    import functools
+
+    solver = functools.partial(lm.damping_iter, cfg=scfg)
+    out = jax.vmap(lambda R, p, f: solver(R, p, f))(
+        jnp.asarray(np.stack(Rs)), jnp.asarray(np.stack(ps)), stacked
+    )
+    return np.asarray(out.R), np.asarray(out.p)
 
 
 def run(
@@ -91,6 +131,7 @@ def run(
     owner = np.empty(W, np.int64)
     anchors = np.zeros(nb, np.int64)
 
+    block_local = []
     for k, s0 in enumerate(starts):
         idx = list(range(s0, min(s0 + cfg.block, W)))
         anchors[k] = idx[0]
@@ -99,11 +140,34 @@ def run(
         pa = p[idx[0]]
         Rb = np.einsum("ba,nbc->nac", Ra, R[idx])
         pb = np.einsum("ba,nb->na", Ra, p[idx] - pa)
-        Rb, pb, nplanes = _solve_window(
-            [scans[i] for i in idx], Rb, pb, cfg.voxel, cfg.solver
+        block_local.append((idx, Rb, pb))
+
+    if cfg.batched_bottom and len({len(b[0]) for b in block_local}) == 1:
+        facs = []
+        for (idx, Rb, pb) in block_local:
+            vres = grid.voxelize(
+                [scans[i] for i in idx], Rb, pb, cfg.voxel, dtype=np.float64
+            )
+            facs.append(vres.factors)
+            info["blocks"].append({"start": idx[0], "size": len(idx),
+                                   "planes": vres.num_planes})
+        Rall, pall = solve_blocks_batched(
+            facs, [b[1] for b in block_local], [b[2] for b in block_local],
+            cfg.solver,
         )
-        info["blocks"].append({"start": s0, "size": len(idx),
-                               "planes": nplanes})
+        solved = [(block_local[k][0], Rall[k], pall[k]) for k in range(nb)]
+    else:
+        solved = []
+        for (idx, Rb, pb) in block_local:
+            Rb, pb, nplanes = _solve_window(
+                [scans[i] for i in idx], Rb, pb, cfg.voxel, cfg.solver
+            )
+            info["blocks"].append({"start": idx[0], "size": len(idx),
+                                   "planes": nplanes})
+            solved.append((idx, Rb, pb))
+
+    for k, (idx, Rb, pb) in enumerate(solved):
+        s0 = idx[0]
         for j, i in enumerate(idx):
             if rel_R[i] is None or (s0 <= i < s0 + cfg.stride) or k == nb - 1:
                 owner[i] = k

@@ -90,6 +90,21 @@ def test_hierarchical_matches_flat():
     assert float(trah) < max(2.0 * float(traf), 0.005)
 
 
+def test_batched_bottom_matches_loop():
+    """The vmap-batched block solver must give the same result as the
+    per-block loop."""
+    R_gt, p_gt, scans = make_long_scene(W=20, seed=14)
+    R0, p0 = perturb_drift(R_gt, p_gt, seed=15)
+    base = hierarchical.HierarchicalConfig(block=8, stride=6, polish=False)
+    batched = hierarchical.HierarchicalConfig(block=8, stride=6,
+                                              polish=False,
+                                              batched_bottom=True)
+    R1, p1, _ = hierarchical.run(scans, R0, p0, base)
+    R2, p2, _ = hierarchical.run(scans, R0, p0, batched)
+    assert np.allclose(R1, R2, atol=1e-8)
+    assert np.allclose(p1, p2, atol=1e-8)
+
+
 def test_hierarchical_no_polish_still_good():
     R_gt, p_gt, scans = make_long_scene(W=24, seed=12)
     R0, p0 = perturb_drift(R_gt, p_gt, seed=13)
