@@ -57,6 +57,9 @@ class HierarchicalConfig:
     super_downsample: float = 0.0
     # solve all bottom-level blocks in ONE vmap-batched LM kernel
     batched_bottom: bool = False
+    # repeat (bottom blocks -> anchor solve -> compose) this many times,
+    # re-associating at the refined poses each cycle
+    cycles: int = 1
 
 
 def _solve_window(scans, R, p, vcfg, scfg):
@@ -125,80 +128,82 @@ def run(
     starts = sorted(set(starts))
     nb = len(starts)
 
-    # --- bottom level: per-block BA in anchor frames ---
-    rel_R = [None] * W   # refined pose of scan i relative to its OWNER anchor
-    rel_p = [None] * W
-    owner = np.empty(W, np.int64)
-    anchors = np.zeros(nb, np.int64)
+    for _cycle in range(max(cfg.cycles, 1)):
+      # --- bottom level: per-block BA in anchor frames ---
+      rel_R = [None] * W   # refined pose of scan i relative to its anchor
+      rel_p = [None] * W
+      owner = np.empty(W, np.int64)
+      anchors = np.zeros(nb, np.int64)
 
-    block_local = []
-    for k, s0 in enumerate(starts):
-        idx = list(range(s0, min(s0 + cfg.block, W)))
-        anchors[k] = idx[0]
-        # block-local poses: anchor frame
-        Ra = R[idx[0]]
-        pa = p[idx[0]]
-        Rb = np.einsum("ba,nbc->nac", Ra, R[idx])
-        pb = np.einsum("ba,nb->na", Ra, p[idx] - pa)
-        block_local.append((idx, Rb, pb))
+      block_local = []
+      for k, s0 in enumerate(starts):
+          idx = list(range(s0, min(s0 + cfg.block, W)))
+          anchors[k] = idx[0]
+          # block-local poses: anchor frame
+          Ra = R[idx[0]]
+          pa = p[idx[0]]
+          Rb = np.einsum("ba,nbc->nac", Ra, R[idx])
+          pb = np.einsum("ba,nb->na", Ra, p[idx] - pa)
+          block_local.append((idx, Rb, pb))
 
-    if cfg.batched_bottom and len({len(b[0]) for b in block_local}) == 1:
-        facs = []
-        for (idx, Rb, pb) in block_local:
-            vres = grid.voxelize(
-                [scans[i] for i in idx], Rb, pb, cfg.voxel, dtype=np.float64
-            )
-            facs.append(vres.factors)
-            info["blocks"].append({"start": idx[0], "size": len(idx),
-                                   "planes": vres.num_planes})
-        Rall, pall = solve_blocks_batched(
-            facs, [b[1] for b in block_local], [b[2] for b in block_local],
-            cfg.solver,
-        )
-        solved = [(block_local[k][0], Rall[k], pall[k]) for k in range(nb)]
-    else:
-        solved = []
-        for (idx, Rb, pb) in block_local:
-            Rb, pb, nplanes = _solve_window(
-                [scans[i] for i in idx], Rb, pb, cfg.voxel, cfg.solver
-            )
-            info["blocks"].append({"start": idx[0], "size": len(idx),
-                                   "planes": nplanes})
-            solved.append((idx, Rb, pb))
+      if cfg.batched_bottom and len({len(b[0]) for b in block_local}) == 1:
+          facs = []
+          for (idx, Rb, pb) in block_local:
+              vres = grid.voxelize(
+                  [scans[i] for i in idx], Rb, pb, cfg.voxel, dtype=np.float64
+              )
+              facs.append(vres.factors)
+              info["blocks"].append({"start": idx[0], "size": len(idx),
+                                     "planes": vres.num_planes})
+          Rall, pall = solve_blocks_batched(
+              facs, [b[1] for b in block_local], [b[2] for b in block_local],
+              cfg.solver,
+          )
+          solved = [(block_local[k][0], Rall[k], pall[k]) for k in range(nb)]
+      else:
+          solved = []
+          for (idx, Rb, pb) in block_local:
+              Rb, pb, nplanes = _solve_window(
+                  [scans[i] for i in idx], Rb, pb, cfg.voxel, cfg.solver
+              )
+              info["blocks"].append({"start": idx[0], "size": len(idx),
+                                     "planes": nplanes})
+              solved.append((idx, Rb, pb))
 
-    for k, (idx, Rb, pb) in enumerate(solved):
-        s0 = idx[0]
-        for j, i in enumerate(idx):
-            if rel_R[i] is None or (s0 <= i < s0 + cfg.stride) or k == nb - 1:
-                owner[i] = k
-                rel_R[i] = Rb[j]
-                rel_p[i] = pb[j]
+      for k, (idx, Rb, pb) in enumerate(solved):
+          s0 = idx[0]
+          for j, i in enumerate(idx):
+              if rel_R[i] is None or (s0 <= i < s0 + cfg.stride) or k == nb - 1:
+                  owner[i] = k
+                  rel_R[i] = Rb[j]
+                  rel_p[i] = pb[j]
 
-    # --- top level: super-scans in anchor frames ---
-    super_scans = []
-    for k, s0 in enumerate(starts):
-        idx = [i for i in range(W) if owner[i] == k]
-        pts = []
-        for i in idx:
-            pts.append(scans[i] @ np.asarray(rel_R[i]).T + rel_p[i])
-        sp = np.concatenate(pts) if pts else np.zeros((0, 3))
-        if cfg.super_downsample > 0 and len(sp):
-            sp = grid.down_sample_voxel(sp, cfg.super_downsample)
-        super_scans.append(sp)
+      # --- top level: super-scans in anchor frames ---
+      super_scans = []
+      for k, s0 in enumerate(starts):
+          idx = [i for i in range(W) if owner[i] == k]
+          pts = []
+          for i in idx:
+              pts.append(scans[i] @ np.asarray(rel_R[i]).T + rel_p[i])
+          sp = np.concatenate(pts) if pts else np.zeros((0, 3))
+          if cfg.super_downsample > 0 and len(sp):
+              sp = grid.down_sample_voxel(sp, cfg.super_downsample)
+          super_scans.append(sp)
 
-    Ra0 = R[anchors]
-    pa0 = p[anchors]
-    Ra1, pa1, top_planes = _solve_window(
-        super_scans, Ra0, pa0, cfg.top_voxel, cfg.top_solver
-    )
-    info["top_planes"] = top_planes
-    info["n_blocks"] = nb
+      Ra0 = R[anchors]
+      pa0 = p[anchors]
+      Ra1, pa1, top_planes = _solve_window(
+          super_scans, Ra0, pa0, cfg.top_voxel, cfg.top_solver
+      )
+      info["top_planes"] = top_planes
+      info["n_blocks"] = nb
 
-    # --- compose ---
-    for i in range(W):
-        k = owner[i]
-        R[i] = Ra1[k] @ rel_R[i]
-        p[i] = Ra1[k] @ rel_p[i] + pa1[k]
+      # --- compose ---
+      for i in range(W):
+          k = owner[i]
+          R[i] = Ra1[k] @ rel_R[i]
+          p[i] = Ra1[k] @ rel_p[i] + pa1[k]
+
 
     # --- optional flat polish ---
     if cfg.polish:
