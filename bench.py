@@ -16,7 +16,33 @@ import numpy as np
 BASELINE_ITERS_PER_SEC = 0.41
 
 
+def _tpu_alive(timeout=120):
+    """Probe the (tunneled) TPU in a subprocess — device init can hang
+    indefinitely when the tunnel is down."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((8, 8));"
+        "print(float((x @ x).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, timeout=timeout,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _tpu_alive():
+        # tunnel down: fall back to CPU so the benchmark always reports
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
