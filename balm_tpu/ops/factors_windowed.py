@@ -1,0 +1,326 @@
+"""Span-compressed plane factors for large pose windows (W >> 10^2).
+
+The dense evaluator (ops/factors.py) stores factor moments as (G, W, ...)
+and assembles a dense (6W, 6W) Hessian — perfect for the reference's
+benchmark regime (W <= 177, bavoxel.hpp:1113 caps at a dense LDLT), but
+O(G W) memory and O(G W^2) flops.  In a mapping run, each plane is seen
+from a short CONTIGUOUS stretch of the trajectory, so row blocks of the
+Hessian vanish outside a band.  This module exploits that:
+
+  * WindowedFactors stores each plane's moments only over its observation
+    span [base_g, base_g + S): memory O(G S), S = max span.
+  * evaluate_windowed produces the SAME per-(plane, scan) rank rows and
+    block-diagonal corrections as factors.evaluate (bavoxel.hpp:304-426;
+    identical math, see ops/factors.py for the derivation) but keeps them
+    factored as HessParts instead of scattering into a dense matrix.
+  * hvp() applies H v in O(G S) — H = -R^T R + blockdiag(D) with R the
+    implicit (3G, 6W) row matrix — so a Krylov solver never materializes
+    H.  block_jacobi() assembles only the W (6, 6) diagonal blocks for
+    preconditioning.
+
+Everything is vmapped over the plane axis; sharding the plane axis over a
+mesh makes XLA insert psums for the segment reductions, which is the
+multi-chip story for configs[4]-scale problems (poses are O(W) and stay
+replicated — 6W floats is nothing; the O(G S) factor data is what must
+scale out).  Sort planes by `base` before sharding and each device only
+ever touches a contiguous pose range: factor-axis sharding IS pose-axis
+partitioning under locality.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import lie
+from . import smallmat as sm
+from .eigh3 import eigh3, eigvals3
+from .factors import PlaneFactors
+
+
+class WindowedFactors(NamedTuple):
+    """Padded span-local batch of plane factors (a pytree).
+
+    C:            (G, S, 4, 4) body moments; slot s maps to pose base+s.
+    base:         (G,) int32 first observing pose.
+    coe:          (G,) weights (0 = padding plane).
+    centers:      (G, 3) world conditioning centers.
+    body_centers: (G, S, 3) per-cluster body centroids (see PlaneFactors).
+    Cfix:         (G, 4, 4) marginalized world moments.
+    """
+
+    C: jnp.ndarray
+    base: jnp.ndarray
+    coe: jnp.ndarray
+    centers: jnp.ndarray
+    body_centers: jnp.ndarray
+    Cfix: jnp.ndarray
+
+    @property
+    def num_planes(self):
+        return self.C.shape[0]
+
+    @property
+    def span(self):
+        return self.C.shape[1]
+
+
+def from_dense(f: PlaneFactors, span: int | None = None) -> WindowedFactors:
+    """Compress a dense PlaneFactors batch to its observation spans.
+
+    Host-side (numpy) preprocessing — run once per problem.  `span` caps
+    the slot count; planes observed over a longer stretch keep their
+    first `span` observers (assert-guarded unless explicitly capped).
+    """
+    C = np.asarray(f.C)
+    G, W = C.shape[:2]
+    obs = C[..., 3, 3] > 0.5                                  # (G, W)
+    any_obs = obs.any(axis=1)
+    first = np.where(any_obs, obs.argmax(axis=1), 0)
+    last = np.where(any_obs, W - 1 - obs[:, ::-1].argmax(axis=1), 0)
+    widths = last - first + 1
+    S = int(widths.max()) if span is None else int(span)
+    if span is None:
+        assert S >= 1
+    else:
+        widths = np.minimum(widths, S)
+
+    idx = first[:, None] + np.arange(S)[None, :]              # (G, S)
+    valid = idx <= np.minimum(last, W - 1)[:, None]
+    idx_c = np.minimum(idx, W - 1)
+    gC = np.take_along_axis(C, idx_c[:, :, None, None], axis=1)
+    gB = np.take_along_axis(np.asarray(f.body_centers),
+                            idx_c[:, :, None], axis=1)
+    gC = gC * valid[:, :, None, None]
+    gB = gB * valid[:, :, None]
+    return WindowedFactors(
+        C=jnp.asarray(gC, f.C.dtype),
+        base=jnp.asarray(first, jnp.int32),
+        coe=jnp.asarray(f.coe),
+        centers=jnp.asarray(f.centers),
+        body_centers=jnp.asarray(gB, f.C.dtype),
+        Cfix=jnp.asarray(f.Cfix),
+    )
+
+
+def to_dense(wf: WindowedFactors, W: int) -> PlaneFactors:
+    """Expand back to the dense (G, W, ...) layout (testing / small W)."""
+    G, S = wf.C.shape[:2]
+    idx = np.clip(
+        np.asarray(wf.base)[:, None] + np.arange(S)[None, :], 0, W - 1)
+    C = np.zeros((G, W, 4, 4), dtype=np.asarray(wf.C).dtype)
+    B = np.zeros((G, W, 3), dtype=C.dtype)
+    gi = np.repeat(np.arange(G), S)
+    np.add.at(C, (gi, idx.reshape(-1)), np.asarray(wf.C).reshape(G * S, 4, 4))
+    np.add.at(B, (gi, idx.reshape(-1)),
+              np.asarray(wf.body_centers).reshape(G * S, 3))
+    return PlaneFactors(
+        C=jnp.asarray(C), Cfix=wf.Cfix, coe=wf.coe, centers=wf.centers,
+        body_centers=jnp.asarray(B))
+
+
+class HessParts(NamedTuple):
+    """Factored normal equations:  H = -sum_g rows_g^T rows_g + diag(D).
+
+    res:   scalar cost.
+    J:     (W, 6) assembled gradient.
+    rows:  (G, 3, S, 6) sqrt-weighted rank rows (types: a, g_1, g_2),
+           span-local.
+    D:     (W, 6, 6) assembled block-diagonal correction (coe-weighted).
+    base:  (G,) span offsets (copied from the factors for convenience).
+    """
+
+    res: jnp.ndarray
+    J: jnp.ndarray
+    rows: jnp.ndarray
+    D: jnp.ndarray
+    base: jnp.ndarray
+
+
+def _segment_pose_sum(vals, wf: WindowedFactors, W: int):
+    """sum_{(g,s) -> pose} vals (G, S, ...) -> (W, ...)."""
+    G, S = vals.shape[:2]
+    idx = wf.base[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(idx, 0, W - 1)
+    flat = vals.reshape((G * S,) + vals.shape[2:])
+    return jax.ops.segment_sum(flat, idx.reshape(-1), num_segments=W)
+
+
+def _gathered_poses(R, p, wf: WindowedFactors):
+    """Per-(plane, slot) shifted pose blocks (G, S, 3, 3), (G, S, 3)."""
+    S = wf.span
+    W = R.shape[0]
+    idx = jnp.clip(
+        wf.base[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :], 0, W - 1)
+    Rg = R[idx]                                              # (G, S, 3, 3)
+    tg = p[idx]                                              # (G, S, 3)
+    t_new = (
+        sm.matvec(Rg, wf.body_centers) + tg - wf.centers[:, None, :]
+    )
+    return Rg, t_new
+
+
+def _window_moment(R, p, wf: WindowedFactors):
+    """World plane moments over the span (centered frame)."""
+    Rg, t_new = _gathered_poses(R, p, wf)
+    G, S = Rg.shape[:2]
+    top = jnp.concatenate([Rg, t_new[..., None]], axis=-1)
+    bot = jnp.zeros((G, S, 1, 4), R.dtype).at[..., 0, 3].set(1.0)
+    Tg = jnp.concatenate([top, bot], axis=-2)                # (G, S, 4, 4)
+    TC = sm.matmul(Tg, wf.C)
+    TCT = sm.matmul(TC, Tg, transpose_b=True)
+    Sfix = jnp.broadcast_to(
+        jnp.eye(4, dtype=wf.Cfix.dtype), wf.Cfix.shape
+    ).at[..., :3, 3].set(-wf.centers)
+    Cfix = Sfix @ wf.Cfix @ jnp.swapaxes(Sfix, -1, -2)
+    Csum = Cfix + jnp.sum(TCT, axis=1)
+    NN = Csum[..., 3, 3]
+    NNs = jnp.where(NN > 0.5, NN, 1.0)
+    Cn = Csum / NNs[..., None, None]
+    vbar = Cn[..., :3, 3]
+    covM = Cn[..., :3, :3] - vbar[..., :, None] * vbar[..., None, :]
+    return Tg, TC, TCT, NNs, NN, vbar, covM
+
+
+def residual_only_windowed(R, p, wf: WindowedFactors):
+    """Total cost sum_g coe_g lambda_0 (evaluate_only_residual,
+    bavoxel.hpp:428-470, in span-local form)."""
+    with jax.default_matmul_precision("float32"):
+        _, _, _, _, NN, _, covM = _window_moment(R, p, wf)
+        lam = eigvals3(covM)
+        valid = (NN > 0.5) & (wf.coe > 0)
+        return jnp.sum(jnp.where(valid, wf.coe * lam[..., 0], 0.0))
+
+
+def evaluate_windowed(R, p, wf: WindowedFactors, *, gap_eps: float = 1e-9,
+                      use_lapack_eigh: bool = False) -> HessParts:
+    """Residual, gradient, and factored Hessian parts.
+
+    Math identical to factors.evaluate(centered=True, l_set=(0,))
+    (left_evaluate_acc2, bavoxel.hpp:304-426) — asserted against it in
+    tests/test_factors_windowed.py — but over span-local slots, never
+    materializing (6W, 6W).
+    """
+    with jax.default_matmul_precision("float32"):
+        return _evaluate_windowed_impl(R, p, wf, gap_eps, use_lapack_eigh)
+
+
+def _evaluate_windowed_impl(R, p, wf, gap_eps, use_lapack_eigh):
+    G, S = wf.C.shape[:2]
+    W = R.shape[0]
+    dtype = wf.C.dtype
+
+    Tg, TC, TCT, NNs, NN, vbar, covM = _window_moment(R, p, wf)
+    if use_lapack_eigh:
+        lam, U = jnp.linalg.eigh(covM)
+    else:
+        lam, U = eigh3(covM)
+
+    valid = (NN > 0.5) & (wf.coe > 0)
+    coe = jnp.where(valid, wf.coe, 0.0)
+    res = jnp.sum(coe * lam[..., 0])
+
+    uT = jnp.swapaxes(U, -1, -2)                     # (G, 3, 3) rows u_k
+    Uk = jnp.zeros((G, 3, 6, 4), dtype)
+    Uk = Uk.at[..., :3, :3].set(-lie.hat(uT))
+    Uk = Uk.at[..., 3:, 3].set(uT)
+
+    temp = Tg[..., :3, :].at[..., :, 3].add(-vbar[:, None, :])
+    X = sm.matmul(TC, temp, transpose_b=True)        # (G, S, 4, 3)
+    inv_NN = (1.0 / NNs)[:, None]
+    scale = jnp.maximum(lam[..., 2], 1e-30)
+
+    u_l = U[..., :, 0]
+    Ul = Uk[:, 0]                                    # (G, 6, 4)
+
+    Xul = sm.matvec(X, u_l[:, None])                 # (G, S, 4)
+    g1 = jnp.sum(Uk[:, :, None, :, :] * Xul[:, None, :, None, :], axis=-1)
+    UlX = sm.matmul(Ul[:, None], X)                  # (G, S, 6, 3)
+    g2 = jnp.sum(UlX[:, None] * uT[:, :, None, None, :], axis=-1)
+    g_kl = (g1 + g2) * inv_NN[..., None, None]       # (G, 3, S, 6)
+
+    a = sm.matvec(Ul[:, None], TC[..., :, 3])        # (G, S, 6)
+
+    UlTCT = sm.matmul(Ul[:, None], TCT)
+    Hb = sm.matmul(UlTCT, Ul[:, None], transpose_b=True)
+    Hb = Hb * (2.0 * inv_NN)[..., None, None]
+    y = sm.matvec(X[..., :3, :], u_l[:, None])
+    Ell = sm.matmul(lie.hat(y), lie.hat(u_l)[:, None]) * inv_NN[..., None, None]
+    Dl = jnp.zeros((G, S, 6, 6), dtype)
+    Dl = Dl.at[..., :3, :3].add(Ell + jnp.swapaxes(Ell, -1, -2))
+    Dl = Dl + Hb
+
+    jvec = g_kl[:, 0]
+    g_k = g_kl[:, 1:]                                # (G, 2, S, 6)
+
+    c = wf.centers[:, None, :]
+    a = lie.adjoint_translation_vec(a, c)
+    jvec = lie.adjoint_translation_vec(jvec, c)
+    g_k = lie.adjoint_translation_vec(
+        g_k.reshape(G, 2 * S, 6), c).reshape(G, 2, S, 6)
+    Dl = lie.adjoint_translation_mat(Dl, c)
+    Dl = Dl.at[..., :3, :3].add(
+        lie.centering_hessian_correction(jvec[..., 3:], c))
+
+    gapk = lam[..., 1:] - lam[..., 0:1]
+    wk = jnp.where(
+        gapk > gap_eps * scale[..., None],
+        2.0 * coe[..., None] / jnp.maximum(gapk, 1e-30), 0.0)
+    wa = 2.0 * coe / (NNs * NNs)
+
+    rows = jnp.concatenate(
+        [
+            (jnp.sqrt(wa)[:, None, None, None] * a[:, None]),
+            jnp.sqrt(wk)[..., None, None] * g_k,
+        ],
+        axis=1,
+    )                                                # (G, 3, S, 6)
+
+    J = _segment_pose_sum(coe[:, None, None] * jvec, wf, W)       # (W, 6)
+    D = _segment_pose_sum(coe[:, None, None, None] * Dl, wf, W)   # (W, 6, 6)
+    return HessParts(res=res, J=J, rows=rows, D=D, base=wf.base)
+
+
+def hvp(parts: HessParts, v, W: int):
+    """H v for v (W, 6):  -R^T (R v) + D v, O(G S)."""
+    G, _, S, _ = parts.rows.shape
+    idx = jnp.clip(
+        parts.base[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :],
+        0, W - 1)
+    vg = v[idx]                                      # (G, S, 6)
+    y = jnp.einsum("gtsj,gsj->gt", parts.rows, vg)   # (G, 3)
+    z = jnp.einsum("gtsj,gt->gsj", parts.rows, y)    # (G, S, 6)
+    flat = jax.ops.segment_sum(
+        z.reshape(G * S, 6), idx.reshape(-1), num_segments=W)
+    return -flat + jnp.einsum("wij,wj->wi", parts.D, v)
+
+
+def hess_diag(parts: HessParts, W: int):
+    """diag(H) (W, 6) — the LM damping scale D = diag(H)
+    (bavoxel.hpp:1113)."""
+    G, _, S, _ = parts.rows.shape
+    sq = jnp.sum(parts.rows ** 2, axis=1)            # (G, S, 6)
+    idx = jnp.clip(
+        parts.base[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :],
+        0, W - 1)
+    s = jax.ops.segment_sum(
+        sq.reshape(G * S, 6), idx.reshape(-1), num_segments=W)
+    return -s + jnp.diagonal(parts.D, axis1=-2, axis2=-1)
+
+
+def block_jacobi(parts: HessParts, W: int, damp):
+    """The W (6, 6) diagonal blocks of H + damp * diag(diag(H)) — the
+    preconditioner for the Krylov solve."""
+    G, _, S, _ = parts.rows.shape
+    outer = jnp.einsum("gtsi,gtsj->gsij", parts.rows, parts.rows)
+    idx = jnp.clip(
+        parts.base[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :],
+        0, W - 1)
+    blocks = jax.ops.segment_sum(
+        outer.reshape(G * S, 6, 6), idx.reshape(-1), num_segments=W)
+    A = -blocks + parts.D
+    dd = jnp.diagonal(A, axis1=-2, axis2=-1)
+    return A + damp * dd[..., None] * jnp.eye(6, dtype=A.dtype)

@@ -1,0 +1,426 @@
+"""Fused Pallas TPU kernels for the full second-order plane-factor pass.
+
+This is the production fast path replacing the XLA evaluator in
+ops/factors.py for the hot LM loop (centered, body-recentered, l_set=(0,)
+plane factors).  Two kernels over the packed layout (ops/packed.py):
+
+  * `_csum_kernel`  — world plane-moment accumulation
+        Csum[g] = sum_w T'_gw C_gw T'_gw^T   (channels, centered frame)
+    used for both the trial-residual path and the evaluation prefix.
+
+  * `_hess_kernel`  — the whole rank-row assembly: per-(plane, scan)
+    6-vectors a, g_k (k=1,2), jvec, block-diagonal corrections, the
+    centering adjoint maps, and the (6W x 3G)(3G x 6W) Hessian matmul,
+    all without ever materializing a (G, W, ...) intermediate in HBM.
+
+Semantics are IDENTICAL to factors.evaluate(T, f, centered=True): the
+reference math is left_evaluate_acc2 (src/benchmark/bavoxel.hpp:304-426);
+see ops/factors.py for the derivation.  Closed forms used in-kernel:
+
+    TC       = [[R P, n t], [0, n]]            (recentered C: v = 0)
+    X3       = R P R^T + n t d^T,  d = t - vbar        (X = TC temp^T)
+    X4       = n d
+    a        = [ (n t) x u0 ; n u0 ]                   (= Ul TC e3)
+    g1_k     = [ (X3 u0) x u_k ; u_k (X4 . u0) ]
+    g2_k     = [ (X3 u_k) x u0 ; u0 (X4 . u_k) ]
+    g_k      = (g1_k + g2_k) / N ;   jvec = g_l (l = 0)
+    Y        = X3 + (n t) vbar^T               (= R P R^T + n t t^T)
+    Hb       = (2/N) [[hat(u0) Y hat(u0)^T? -- via crosses, see kernel],
+                      [a_rot u0^T ; ...], [n u0 u0^T]]
+    Ell+Ell^T= (1/N) (u0 y^T + y u0^T - 2 (y.u0) I),  y = X3 u0
+               (using hat(y) hat(u) = u y^T - (y.u) I)
+
+Layout choices (why this is fast on TPU):
+  * plane axis on the 128-lane dimension; scan tiles of 8 on sublanes --
+    every per-(g, w) product is a full (8, 128) VPU op.
+  * the row matrix is built in VMEM in (j, w)-major order so all stores
+    are aligned (8, 128) blocks (no in-kernel relayout); the XLA glue
+    permutes the final (6W, 6W) Hessian once (~5 MB, negligible).
+  * H accumulates across plane-tiles in the output VMEM window
+    (grid is sequential on TPU; same out block index for every step).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .eigh3 import eigh3, eigvals3
+from .packed import PackedFactors, csum_to_cov, pad_poses
+
+LANES = 128
+BG_CSUM = 512   # plane-block for the moment kernel (pure VPU, bigger=fewer programs)
+BG_HESS = 128   # plane-block for the Hessian kernel (VMEM-bound)
+
+_DOT_KW = dict(
+    dimension_numbers=(((1,), (1,)), ((), ())),
+    preferred_element_type=jnp.float32,
+    precision=lax.Precision.HIGHEST,
+)
+
+
+def _cross(a, b):
+    return [a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0]]
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _load_scan_tile(pose_ref, mom_ref, cen_ref, w0):
+    """Per-scan-tile loads: rotation/translation (8,1), moments (8,BG)."""
+    r = [pose_ref[pl.ds(w0, 8), k:k + 1] for k in range(9)]
+    tw = [pose_ref[pl.ds(w0, 8), 9 + k:10 + k] for k in range(3)]
+    pch = [mom_ref[pl.ds(w0, 8), k, :] for k in range(6)]
+    b = [mom_ref[pl.ds(w0, 8), 6 + k, :] for k in range(3)]
+    n = mom_ref[pl.ds(w0, 8), 9, :]
+    c = [cen_ref[k:k + 1, :] for k in range(3)]
+    # t = R b + t_w - c   (the shifted/composed translation, factors.py
+    # _shifted_poses)
+    t = [r[3 * i] * b[0] + r[3 * i + 1] * b[1] + r[3 * i + 2] * b[2]
+         + tw[i] - c[i] for i in range(3)]
+    return r, pch, n, t, c
+
+
+def _sym3(pch):
+    """6 channels -> full symmetric 3x3 (list of lists)."""
+    return [[pch[0], pch[1], pch[2]],
+            [pch[1], pch[3], pch[4]],
+            [pch[2], pch[4], pch[5]]]
+
+
+def _rprt(r, P):
+    """R P R^T for scalar-channel R (8,1) and symmetric P (8,BG) lists."""
+    A = [[r[3 * i + 0] * P[0][j] + r[3 * i + 1] * P[1][j]
+          + r[3 * i + 2] * P[2][j] for j in range(3)] for i in range(3)]
+    return [[A[i][0] * r[3 * j + 0] + A[i][1] * r[3 * j + 1]
+             + A[i][2] * r[3 * j + 2] for j in range(3)] for i in range(3)]
+
+
+# --------------------------------------------------------------------------
+# Kernel A: moment accumulation
+# --------------------------------------------------------------------------
+
+def _csum_kernel(pose_ref, mom_ref, cen_ref, out_ref):
+    Wp = mom_ref.shape[0]
+    shape = (8, mom_ref.shape[2])
+
+    def body(wt, acc):
+        w0 = pl.multiple_of(wt * 8, 8)
+        r, pch, n, t, _ = _load_scan_tile(pose_ref, mom_ref, cen_ref, w0)
+        M = _rprt(r, _sym3(pch))
+        nt = [n * t[i] for i in range(3)]
+        upd = [M[0][0] + nt[0] * t[0], M[0][1] + nt[0] * t[1],
+               M[0][2] + nt[0] * t[2], M[1][1] + nt[1] * t[1],
+               M[1][2] + nt[1] * t[2], M[2][2] + nt[2] * t[2],
+               nt[0], nt[1], nt[2], n]
+        return tuple(a + u for a, u in zip(acc, upd))
+
+    acc = lax.fori_loop(
+        0, Wp // 8, body,
+        tuple(jnp.zeros(shape, jnp.float32) for _ in range(10)))
+    for k in range(10):
+        out_ref[k:k + 1, :] = jnp.sum(acc[k], axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def csum_packed(pose, mom, cen, *, interpret: bool = False):
+    """pose (Wp,12), mom (Wp,10,Gp), cen (3,Gp) -> Csum channels (10, Gp)."""
+    Wp, _, Gp = mom.shape
+    assert Gp % BG_CSUM == 0 and Wp % 8 == 0
+    return pl.pallas_call(
+        _csum_kernel,
+        grid=(Gp // BG_CSUM,),
+        in_specs=[
+            pl.BlockSpec((Wp, 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wp, 10, BG_CSUM), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BG_CSUM), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((10, BG_CSUM), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((10, Gp), jnp.float32),
+        interpret=interpret,
+    )(pose, mom, cen)
+
+
+# --------------------------------------------------------------------------
+# Kernel B: rank rows + Hessian matmul
+# --------------------------------------------------------------------------
+# aux channels: 0-2 u0 | 3-5 u1 | 6-8 u2 | 9-11 vbar | 12 invN | 13 sqrt_wa
+#               | 14 sqrt_w1 | 15 sqrt_w2 | 16 coe(masked)
+AUX_CH = 17
+
+
+def _hess_kernel(pose_ref, mom_ref, cen_ref, aux_ref, h_ref, j_ref, d_ref,
+                 rows_ref):
+    i = pl.program_id(0)
+    Wp = mom_ref.shape[0]
+    BG = mom_ref.shape[2]
+
+    @pl.when(i == 0)
+    def _():
+        j_ref[...] = jnp.zeros_like(j_ref)
+        d_ref[...] = jnp.zeros_like(d_ref)
+
+    u = [[aux_ref[3 * k + m:3 * k + m + 1, :] for m in range(3)]
+         for k in range(3)]                       # u[k][m]: (1, BG)
+    vb = [aux_ref[9 + m:10 + m, :] for m in range(3)]
+    invN = aux_ref[12:13, :]
+    sqa = aux_ref[13:14, :]
+    sqk = [aux_ref[14:15, :], aux_ref[15:16, :]]
+    coew = aux_ref[16:17, :]
+    u0 = u[0]
+
+    def scan_tile(wt, _):
+        w0 = pl.multiple_of(wt * 8, 8)
+        r, pch, n, t, c = _load_scan_tile(pose_ref, mom_ref, cen_ref, w0)
+        P = _sym3(pch)
+        RPRt = _rprt(r, P)
+        d3 = [t[m] - vb[m] for m in range(3)]
+        nt = [n * t[m] for m in range(3)]
+        X3 = [[RPRt[a][b] + nt[a] * d3[b] for b in range(3)]
+              for a in range(3)]
+        X4 = [n * d3[m] for m in range(3)]
+
+        def x3_dot(v):
+            return [X3[a][0] * v[0] + X3[a][1] * v[1] + X3[a][2] * v[2]
+                    for a in range(3)]
+
+        Xu = [x3_dot(u[k]) for k in range(3)]     # X3 @ u_k
+        Xu3 = [_dot3(X4, u[k]) for k in range(3)]  # X4 . u_k
+
+        # a = [ (n t) x u0 ; n u0 ]
+        a_rot = _cross(nt, u0)
+        a_tr = [n * u0[m] for m in range(3)]
+
+        # jvec = 2/N [ (X3 u0) x u0 ; u0 (X4.u0) ]
+        jrot = [2.0 * invN * v for v in _cross(Xu[0], u0)]
+        jtr = [2.0 * invN * u0[m] * Xu3[0] for m in range(3)]
+
+        # g_k = 1/N (g1_k + g2_k), k = 1, 2
+        g_rot, g_tr = [], []
+        for k in (1, 2):
+            g1r = _cross(Xu[0], u[k])
+            g2r = _cross(Xu[k], u0)
+            g_rot.append([invN * (g1r[m] + g2r[m]) for m in range(3)])
+            g_tr.append([invN * (u[k][m] * Xu3[0] + u0[m] * Xu3[k])
+                         for m in range(3)])
+
+        # --- block-diagonal correction Dl (6x6 SoA) ---
+        # TL = 2/N * [-hat(u0) Y hat(u0)] rows via double cross;
+        # Y = X3 + (n t) vbar^T
+        Y = [[X3[a][b] + nt[a] * vb[b] for b in range(3)] for a in range(3)]
+        # B1 columns: B1[:, j] = -u0 x Y[:, j]
+        B1c = [[-v for v in _cross(u0, [Y[0][j], Y[1][j], Y[2][j]])]
+               for j in range(3)]
+        # TL rows: TL[i, :] = -u0 x B1[i, :]
+        B1r = [[B1c[j][a] for j in range(3)] for a in range(3)]
+        TL = [[-v for v in _cross(u0, B1r[a])] for a in range(3)]
+        y = Xu[0]
+        ydu = _dot3(y, u0)
+        two_invN = 2.0 * invN
+        # Dl[:3,:3] = (Ell + Ell^T) + 2/N TL
+        Dtl = [[invN * (u0[a] * y[b] + y[a] * u0[b]) + two_invN * TL[a][b]
+                for b in range(3)] for a in range(3)]
+        for a in range(3):
+            Dtl[a][a] = Dtl[a][a] - two_invN * ydu
+        # Dl[:3,3:] = 2/N a_rot u0^T ; Dl[3:,3:] = 2/N n u0 u0^T
+        Dtr = [[two_invN * a_rot[a] * u0[b] for b in range(3)]
+               for a in range(3)]
+        Dbr = [[two_invN * n * u0[a] * u0[b] for b in range(3)]
+               for a in range(3)]
+        Dbl = [[Dtr[b][a] for b in range(3)] for a in range(3)]
+
+        # --- centering adjoints: map back through S = translate(-c) ---
+        # covectors: (gw, gr) -> (gw + c x gr, gr)
+        def adj_vec(rot, tr):
+            cx = _cross(c, tr)
+            return [rot[m] + cx[m] for m in range(3)], tr
+
+        a_rot, a_tr = adj_vec(a_rot, a_tr)
+        jrot, jtr = adj_vec(jrot, jtr)
+        for k in range(2):
+            g_rot[k], g_tr[k] = adj_vec(g_rot[k], g_tr[k])
+
+        # matrices: J^T Dl J with J = [[I,0],[-hat(c),I]]
+        #   A2 rows = A rows + c x (B rows); C2 rows = C rows + c x (D rows)
+        #   TL' cols = A2 cols + c x (C2 cols); TR' cols = B cols + c x (D cols)
+        def rows_pluscross(Mr, Nr):
+            return [[Mr[a][b] + _cross(c, Nr[a])[b] for b in range(3)]
+                    for a in range(3)]
+
+        def cols_pluscross(Mc, Nc):
+            out = [[None] * 3 for _ in range(3)]
+            for b in range(3):
+                colN = [Nc[0][b], Nc[1][b], Nc[2][b]]
+                cx = _cross(c, colN)
+                for a in range(3):
+                    out[a][b] = Mc[a][b] + cx[a]
+            return out
+
+        A2 = rows_pluscross(Dtl, Dtr)
+        C2 = rows_pluscross(Dbl, Dbr)
+        Dtl = cols_pluscross(A2, C2)
+        Dtr = cols_pluscross(Dtr, Dbr)
+        Dbl = C2
+        # + second-order chain term on the w-w block:
+        # 0.5 (g c^T + c g^T) - (g.c) I, g = jtr
+        gdc = _dot3(jtr, c)
+        for a in range(3):
+            for b in range(3):
+                Dtl[a][b] = Dtl[a][b] + 0.5 * (jtr[a] * c[b] + c[a] * jtr[b])
+            Dtl[a][a] = Dtl[a][a] - gdc
+
+        # --- store scaled rank rows, (j, w)-major, aligned (8, BG) writes ---
+        av = a_rot + a_tr
+        jv = jrot + jtr
+        g1v = g_rot[0] + g_tr[0]
+        g2v = g_rot[1] + g_tr[1]
+        for jj in range(6):
+            rows_ref[pl.ds(jj * Wp + w0, 8), 0:BG] = sqa * av[jj]
+            rows_ref[pl.ds(jj * Wp + w0, 8), BG:2 * BG] = sqk[0] * g1v[jj]
+            rows_ref[pl.ds(jj * Wp + w0, 8), 2 * BG:3 * BG] = sqk[1] * g2v[jj]
+
+        # --- gradient & diag accumulation (lane reductions) ---
+        jsum = jnp.concatenate(
+            [jnp.sum(coew * jv[jj], axis=1, keepdims=True) for jj in range(6)],
+            axis=1,
+        )                                                   # (8, 6)
+        j_ref[pl.ds(w0, 8), 0:6] += jsum
+        Dfull = [[Dtl, Dtr], [Dbl, Dbr]]
+        dsum = jnp.concatenate(
+            [jnp.sum(coew * Dfull[a // 3][b // 3][a % 3][b % 3],
+                     axis=1, keepdims=True)
+             for a in range(6) for b in range(6)],
+            axis=1,
+        )                                                   # (8, 36)
+        d_ref[pl.ds(w0, 8), 0:36] += dsum
+        return 0
+
+    lax.fori_loop(0, Wp // 8, scan_tile, 0)
+
+    h = lax.dot_general(rows_ref[...], rows_ref[...], **_DOT_KW)
+
+    @pl.when(i == 0)
+    def _():
+        h_ref[...] = h
+
+    @pl.when(i > 0)
+    def _():
+        h_ref[...] += h
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hess_packed(pose, mom, cen, aux, *, interpret: bool = False):
+    """-> (Htilde (6Wp,6Wp) in (j,w)-major order, J (Wp,128), D (Wp,128))."""
+    Wp, _, Gp = mom.shape
+    assert Gp % BG_HESS == 0 and Wp % 8 == 0
+    n6 = 6 * Wp
+    return pl.pallas_call(
+        _hess_kernel,
+        grid=(Gp // BG_HESS,),
+        in_specs=[
+            pl.BlockSpec((Wp, 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wp, 10, BG_HESS), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BG_HESS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((AUX_CH, BG_HESS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n6, n6), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wp, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wp, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n6, n6), jnp.float32),
+            jax.ShapeDtypeStruct((Wp, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((Wp, LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n6, 3 * BG_HESS), jnp.float32),
+        ],
+        # H window + dot intermediate + rows scratch exceed the default
+        # 16 MB scoped-vmem budget at W=177; v5e has headroom above it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(pose, mom, cen, aux)
+
+
+# --------------------------------------------------------------------------
+# Glue: full evaluate / residual with semantics of factors.evaluate
+# --------------------------------------------------------------------------
+
+def _aux_from_csum(csum, pk: PackedFactors, gap_eps):
+    """Eigendecomposition + per-plane weights -> (res, valid stats, aux)."""
+    N, Ns, valid, vbar, cov = csum_to_cov(csum, pk.coe)
+    lam, U = eigh3(cov)                                   # (Gp,3), (Gp,3,3)
+    coew = jnp.where(valid, pk.coe[0], 0.0)
+    res = jnp.sum(coew * lam[:, 0])
+    invN = 1.0 / Ns
+    sqa = jnp.sqrt(2.0 * coew) * invN
+    scale = jnp.maximum(lam[:, 2], 1e-30)
+    gap = lam[:, 1:] - lam[:, 0:1]
+    wk = jnp.where(
+        gap > gap_eps * scale[:, None],
+        2.0 * coew[:, None] / jnp.maximum(gap, 1e-30), 0.0)
+    sqw = jnp.sqrt(wk)                                    # (Gp, 2)
+    aux = jnp.concatenate([
+        U[:, :, 0].T, U[:, :, 1].T, U[:, :, 2].T,         # u0 u1 u2 rows
+        vbar,
+        invN[None], sqa[None], sqw[:, 0][None], sqw[:, 1][None],
+        coew[None],
+    ], axis=0).astype(jnp.float32)                        # (17, Gp)
+    return res, aux
+
+
+def evaluate_packed(R, p, pk: PackedFactors, *, gap_eps: float = 1e-9,
+                    interpret: bool = False):
+    """Residual, gradient (6W,), Newton Hessian (6W,6W) — fused TPU path.
+
+    Drop-in equal to factors.evaluate(pose_matrix(R,p), f, centered=True)
+    for body-recentered factors (tests/test_pallas_evaluate.py asserts
+    equality and the jax.hessian oracle).
+    """
+    W = R.shape[0]
+    Wp = pk.wp
+    pose = pad_poses(R, p, Wp).astype(jnp.float32)
+    with jax.default_matmul_precision("float32"):
+        csum = csum_packed(pose, pk.mom, pk.cen, interpret=interpret)
+        csum = csum + pk.cfix
+        res, aux = _aux_from_csum(csum, pk, gap_eps)
+        Ht, Jt, Dt = hess_packed(pose, pk.mom, pk.cen, aux,
+                                 interpret=interpret)
+        # (j,w)-major -> (w,j)-major, crop padding, negate rank part
+        H = -Ht.reshape(6, Wp, 6, Wp).transpose(1, 0, 3, 2)[:W, :, :W, :]
+        D = Dt[:W, :36].reshape(W, 6, 6)
+        iw = jnp.arange(W)
+        H = H.at[iw, :, iw, :].add(D).reshape(6 * W, 6 * W)
+        J = Jt[:W, :6].reshape(6 * W)
+    return res, J, H
+
+
+def residual_only_packed(R, p, pk: PackedFactors, *, interpret: bool = False):
+    """Total cost sum_g coe_g lambda_0(g) — fused moment kernel + eigvals."""
+    W = R.shape[0]
+    pose = pad_poses(R, p, pk.wp).astype(jnp.float32)
+    with jax.default_matmul_precision("float32"):
+        csum = csum_packed(pose, pk.mom, pk.cen, interpret=interpret)
+        csum = csum + pk.cfix
+        N, Ns, valid, vbar, cov = csum_to_cov(csum, pk.coe)
+        lam = eigvals3(cov)
+        coew = jnp.where(valid, pk.coe[0], 0.0)
+        return jnp.sum(coew * lam[:, 0])

@@ -1,0 +1,120 @@
+"""SE(3) relative-pose factors for the hierarchical top level.
+
+The reference has no pose-graph machinery (its HBA README pointer leaves
+large maps to a separate project); these factors are the inter-block
+constraints that survive super-scan compression in pipelines/hierarchical:
+two overlapping bottom blocks both solve the shared scans, and the
+consensus relative pose between their anchors becomes a measurement
+
+    Z = T_i^-1 T_j      (anchor j expressed in anchor i's frame)
+
+with cost
+
+    E = w_rot |Log(Zr^T R_i^T R_j)|^2 + w_tr |R_i^T (p_j - p_i) - Zp|^2.
+
+Derivatives are taken by autodiff in the SAME left-perturbation chart as
+the plane factors (eps -> Exp(eps_k) T_k, solver/lm.py), so the two factor
+families add directly into one damped-Newton system.  The top level has
+tens of anchors, so a jax.hessian of this cost is negligible next to one
+plane-factor evaluation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import lie
+
+
+class RelPoseEdges(NamedTuple):
+    """Batch of relative-pose factors (a pytree).
+
+    i, j:   (E,) int32 pose indices (measurement: pose j in pose i frame)
+    Zr:     (E, 3, 3) measured relative rotations R_i^T R_j
+    Zp:     (E, 3) measured relative translations R_i^T (p_j - p_i)
+    w_rot:  (E,) rotation weights (1/sigma^2)
+    w_tr:   (E,) translation weights
+    """
+
+    i: jnp.ndarray
+    j: jnp.ndarray
+    Zr: jnp.ndarray
+    Zp: jnp.ndarray
+    w_rot: jnp.ndarray
+    w_tr: jnp.ndarray
+
+    @classmethod
+    def empty(cls, dtype=jnp.float64):
+        z = jnp.zeros((0,), jnp.int32)
+        return cls(i=z, j=z, Zr=jnp.zeros((0, 3, 3), dtype),
+                   Zp=jnp.zeros((0, 3), dtype),
+                   w_rot=jnp.zeros((0,), dtype),
+                   w_tr=jnp.zeros((0,), dtype))
+
+
+def relpose_cost(R, p, edges: RelPoseEdges):
+    """Total weighted pose-graph cost (scalar)."""
+    Ri = R[edges.i]
+    Rj = R[edges.j]
+    dR = jnp.einsum("eba,ebc->eac", Ri, Rj)          # R_i^T R_j
+    rerr = lie.so3_log(jnp.einsum("eba,ebc->eac", edges.Zr, dR))
+    dp = jnp.einsum("eba,eb->ea", Ri, p[edges.j] - p[edges.i])
+    terr = dp - edges.Zp
+    return (jnp.sum(edges.w_rot * jnp.sum(rerr * rerr, -1))
+            + jnp.sum(edges.w_tr * jnp.sum(terr * terr, -1)))
+
+
+def evaluate_relpose(R, p, edges: RelPoseEdges):
+    """(res, J (6W,), H (6W, 6W)) in the left-update chart."""
+    W = R.shape[0]
+
+    def cost(eps):
+        Rn, pn = lie.se3_left_update(R, p, eps.reshape(W, 6))
+        return relpose_cost(Rn, pn, edges)
+
+    eps0 = jnp.zeros(6 * W, R.dtype)
+    res = cost(eps0)
+    J = jax.grad(cost)(eps0)
+    H = jax.hessian(cost)(eps0)
+    return res, J, H
+
+
+def consensus_edge(rel_Ri, rel_pi, rel_Rj, rel_pj):
+    """Consensus relative pose between two anchors from shared scans.
+
+    rel_R*/rel_p* are lists of the SAME scans' refined poses expressed in
+    anchor i's resp. anchor j's frame.  For each shared scan s:
+        T_ij^(s) = T_i^s (T_j^s)^-1   (pose of anchor j in anchor i frame)
+    and the consensus is the Lie-algebra mean over s (the overlap is a few
+    scans, all agreeing up to intra-block residual error).
+
+    Returns (Zr, Zp, spread) with spread = max pairwise deviation (rad+m),
+    usable as a weight / gating signal.
+    """
+    Ts = []
+    for (Ri, pi, Rj, pj) in zip(rel_Ri, rel_pi, rel_Rj, rel_pj):
+        Rij = np.asarray(Ri) @ np.asarray(Rj).T
+        pij = np.asarray(pi) - Rij @ np.asarray(pj)
+        Ts.append((Rij, pij))
+    R0, p0 = Ts[0]
+    if len(Ts) == 1:
+        return R0, p0, 0.0
+    # mean in the tangent space at T0
+    ws = []
+    vs = []
+    for (Rk, pk) in Ts:
+        ws.append(np.asarray(lie.so3_log(jnp.asarray(R0.T @ Rk))))
+        vs.append(pk - p0)
+    wbar = np.mean(ws, axis=0)
+    vbar = np.mean(vs, axis=0)
+    spread = max(
+        float(np.max(np.linalg.norm(np.asarray(ws) - wbar, axis=-1))),
+        float(np.max(np.linalg.norm(np.asarray(vs) - vbar, axis=-1))),
+    )
+    Rm = R0 @ np.asarray(lie.so3_exp(jnp.asarray(wbar)))
+    pm = p0 + vbar
+    return Rm, pm, spread

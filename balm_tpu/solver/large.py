@@ -1,0 +1,225 @@
+"""Large-window LM: matrix-free damped-Newton over span-compressed factors.
+
+The reference caps bundle adjustment at a dense (6W, 6W) LDLT
+(bavoxel.hpp:1113-1114, W <= 177 in its benchmarks).  This solver scales
+the SAME damping algebra (accept/reject, u/v schedule — see solver/lm.py)
+to thousands of poses by replacing the dense factorization with a
+block-Jacobi preconditioned conjugate-gradient solve on the implicit
+normal equations
+
+    (H + u diag(H)) dx = -J,    H = -R^T R + blockdiag(D)
+
+where R is the factored rank-row matrix of ops/factors_windowed.py
+(never materialized; one H v costs O(G S) flops).  Memory is O(G S + W),
+so the pose window is bounded by HBM only through the factor data.
+
+CG on an exact-Newton H needs H + uD positive definite; far from the
+optimum LM's rejection loop raises u until it is (the same mechanism
+that protects the reference's LDLT from indefinite pivots).  A
+non-finite or ascent step is treated as a rejected iteration.
+
+Multi-chip: shard the plane axis of WindowedFactors (sorted by `base`,
+so shards are trajectory segments); poses/J/dx stay replicated (O(W)).
+XLA inserts the psum over the factor axis for every segment reduction —
+tests/test_large_solver.py asserts sharded == single-device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SolverConfig
+from ..ops import factors_windowed as FW
+from ..ops import lie
+
+
+class LargeLMResult(NamedTuple):
+    R: jnp.ndarray
+    p: jnp.ndarray
+    residual: jnp.ndarray
+    iters: jnp.ndarray
+    trace_res1: jnp.ndarray
+    trace_res2: jnp.ndarray
+    trace_u: jnp.ndarray
+    trace_accept: jnp.ndarray
+    trace_cg: jnp.ndarray     # CG iterations used per LM iteration
+
+
+def _chol6(A):
+    """Batched 6x6 Cholesky (vmapped jnp is fine at this size)."""
+    return jax.vmap(jnp.linalg.cholesky)(A)
+
+
+def _precond_solve(L, r):
+    """Apply M^-1 via the cached block factors; r flat (6W,)."""
+    W = L.shape[0]
+    r2 = r.reshape(W, 6)
+    y = jax.vmap(
+        lambda Lw, rw: jax.scipy.linalg.solve_triangular(Lw, rw, lower=True)
+    )(L, r2)
+    z = jax.vmap(
+        lambda Lw, yw: jax.scipy.linalg.solve_triangular(
+            Lw.T, yw, lower=False)
+    )(L, y)
+    return z.reshape(-1)
+
+
+def _pcg(matvec, b, L, max_iters, tol):
+    """Preconditioned CG for A x = b; returns (x, iterations)."""
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = _precond_solve(L, r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+    bnorm = jnp.linalg.norm(b)
+
+    def cond(carry):
+        _, r, _, _, k, ok = carry
+        return ok & (k < max_iters) & (jnp.linalg.norm(r) > tol * bnorm)
+
+    def body(carry):
+        x, r, p, rz, k, _ = carry
+        Ap = matvec(p)
+        pAp = jnp.vdot(p, Ap)
+        # truncated CG: stop at non-positive curvature and keep the
+        # partial step (x may be 0 -> LM rejects and raises u, the same
+        # protection the reference's LDLT gets from the damping loop)
+        posdef = pAp > 0
+        alpha = jnp.where(posdef, rz / jnp.where(posdef, pAp, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = _precond_solve(L, r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        p = z + beta * p
+        return x, r, p, rz_new, k + 1, posdef
+
+    x, r, _, _, k, ok = jax.lax.while_loop(
+        cond, body, (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32),
+                     jnp.asarray(True)))
+    return x, k
+
+
+def damping_iter_large(R, p, wf: FW.WindowedFactors,
+                       cfg: SolverConfig = SolverConfig(),
+                       *, cg_iters: int = 100, cg_tol: float = 1e-4):
+    """LM loop over WindowedFactors; same schedule as solver/lm.py
+    (bavoxel.hpp:1069-1166) with the dense solve replaced by PCG."""
+    return _damping_iter_large_jit(
+        R, p, wf, cfg.max_iters, cfg.u_init, cfg.v_init, cfg.rel_tol,
+        cfg.abs_tol, cfg.gauge_fix, cg_iters, cg_tol)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 7, 8, 9, 10))
+def _damping_iter_large_jit(R, p, wf, max_iters, u_init, v_init, rel_tol,
+                            abs_tol, gauge_fix, cg_iters, cg_tol):
+    with jax.default_matmul_precision("float32"):
+        return _body(R, p, wf, max_iters, u_init, v_init, rel_tol,
+                     abs_tol, gauge_fix, cg_iters, cg_tol)
+
+
+class _Carry(NamedTuple):
+    R: jnp.ndarray
+    p: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+    res1: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+    t_res1: jnp.ndarray
+    t_res2: jnp.ndarray
+    t_u: jnp.ndarray
+    t_acc: jnp.ndarray
+    t_cg: jnp.ndarray
+
+
+def _body(R, p, wf, max_iters, u_init, v_init, rel_tol, abs_tol,
+          gauge_fix, cg_iters, cg_tol):
+    W = R.shape[0]
+    dtype = R.dtype
+    one_three = jnp.asarray(1.0 / 3.0, dtype)
+
+    def body(c: _Carry) -> _Carry:
+        parts = FW.evaluate_windowed(c.R, c.p, wf)
+        res1 = parts.res
+        J = parts.J                                   # (W, 6)
+        diagH = FW.hess_diag(parts, W)                # (W, 6)
+
+        def matvec(v6):
+            v2 = v6.reshape(W, 6)
+            out = FW.hvp(parts, v2, W) + c.u * diagH * v2
+            return out.reshape(-1)
+
+        Ablk = FW.block_jacobi(parts, W, c.u)
+        # guard: if a block is not SPD (far-from-optimum exact Newton),
+        # fall back to identity preconditioning for that block
+        L = _chol6(Ablk)
+        bad = ~jnp.all(jnp.isfinite(L), axis=(-2, -1))
+        eye = jnp.eye(6, dtype=dtype)
+        L = jnp.where(bad[:, None, None], eye, L)
+
+        dx, k_cg = _pcg(matvec, -J.reshape(-1), L, cg_iters, cg_tol)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+
+        Rt, pt = lie.se3_left_update(c.R, c.p, dx.reshape(W, 6))
+        q1 = 0.5 * jnp.dot(dx, (c.u * diagH.reshape(-1)) * dx - J.reshape(-1))
+        res2 = FW.residual_only_windowed(Rt, pt, wf)
+
+        q = res1 - res2
+        accept = (q > 0) & jnp.isfinite(res2)
+
+        rho = q / q1
+        shrink = 1.0 - (2.0 * rho - 1.0) ** 3
+        u_acc = c.u * jnp.maximum(one_three, shrink)
+        u_rej = c.u * c.v
+        v_new = jnp.where(accept, 2.0, 2.0 * c.v)
+        u_new = jnp.where(accept, u_acc, u_rej)
+
+        Rn = jnp.where(accept, Rt, c.R)
+        pn = jnp.where(accept, pt, c.p)
+        res1n = jnp.where(accept, res2, res1)
+
+        rel = jnp.abs(res1 - res2) / jnp.maximum(res1, 1e-30)
+        stop = rel < rel_tol
+        if abs_tol > 0:
+            stop = stop | (jnp.abs(res1 - res2) < abs_tol)
+
+        i = c.it
+        return _Carry(
+            R=Rn, p=pn, u=u_new, v=v_new, res1=res1n,
+            it=i + 1, done=stop,
+            t_res1=c.t_res1.at[i].set(res1),
+            t_res2=c.t_res2.at[i].set(res2),
+            t_u=c.t_u.at[i].set(c.u),
+            t_acc=c.t_acc.at[i].set(accept.astype(dtype)),
+            t_cg=c.t_cg.at[i].set(k_cg),
+        )
+
+    def cond(c: _Carry):
+        return (~c.done) & (c.it < max_iters)
+
+    nan = jnp.full((max_iters,), jnp.nan, dtype)
+    init = _Carry(
+        R=R, p=p,
+        u=jnp.asarray(u_init, dtype), v=jnp.asarray(v_init, dtype),
+        res1=jnp.asarray(jnp.inf, dtype),
+        it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
+        t_res1=nan, t_res2=nan, t_u=nan, t_acc=nan,
+        t_cg=jnp.zeros((max_iters,), jnp.int32),
+    )
+    c = jax.lax.while_loop(cond, body, init)
+
+    Rf, pf = c.R, c.p
+    if gauge_fix:
+        Rf, pf = lie.gauge_fix(Rf, pf)
+    final_res = jax.lax.cond(
+        c.it > 0, lambda: c.res1,
+        lambda: FW.residual_only_windowed(c.R, c.p, wf))
+    return LargeLMResult(
+        R=Rf, p=pf, residual=final_res, iters=c.it,
+        trace_res1=c.t_res1, trace_res2=c.t_res2, trace_u=c.t_u,
+        trace_accept=c.t_acc, trace_cg=c.t_cg)

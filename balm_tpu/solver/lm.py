@@ -67,7 +67,8 @@ class _Carry(NamedTuple):
 
 def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
                  *, centered: bool = False, use_lapack_eigh: bool = False,
-                 update: str = "left", linear_solver: str = "cholesky"):
+                 update: str = "left", linear_solver: str = "cholesky",
+                 backend: str = "xla"):
     """Run the LM loop. R (W,3,3), p (W,3), f: PlaneFactors.
 
     update: 'left' (production, bavoxel.hpp:1122-1125) or 'right'
@@ -75,21 +76,32 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
     requires raw body moments and centered=False).
     linear_solver: 'cholesky' (fast TPU path) or 'lu' (handles indefinite
     H + uD without relying on LM rejection; reference uses LDLT).
+    backend: 'xla' (ops/factors.py) or 'pallas' (the fused TPU kernels of
+    ops/pallas_evaluate.py; requires centered=True, left update, float32,
+    body-recentered factors).  On non-TPU backends 'pallas' runs in
+    interpreter mode (tests); the compiled path needs TPU hardware.
     """
     if update == "right" and centered:
         raise ValueError("right update requires centered=False")
+    if backend == "pallas":
+        if not centered or update != "left":
+            raise ValueError("pallas backend requires centered=True, left update")
+        if R.dtype != jnp.float32:
+            raise ValueError("pallas backend is the float32 fast path")
+    pallas_interpret = jax.default_backend() != "tpu"
     return _damping_iter_jit(
         R, p, f,
         cfg.max_iters, cfg.u_init, cfg.v_init, cfg.rel_tol, cfg.abs_tol,
         cfg.min_planes_per_pose, cfg.gauge_fix, centered, use_lapack_eigh,
-        update, linear_solver,
+        update, linear_solver, backend, pallas_interpret,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(3, 7, 9, 10, 11, 12, 13))
+@functools.partial(jax.jit, static_argnums=(3, 7, 9, 10, 11, 12, 13, 14, 15))
 def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                       min_planes, gauge_fix, centered, use_lapack_eigh,
-                      update, linear_solver):
+                      update, linear_solver, backend="xla",
+                      pallas_interpret=False):
     # full f32 matmul precision for EVERYTHING in the loop: on TPU the
     # default runs matmuls (pose composition, triangular solves) in bf16,
     # which silently degrades steps and stalls convergence ~0.1% above
@@ -98,31 +110,45 @@ def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
         return _damping_iter_body(
             R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
             min_planes, gauge_fix, centered, use_lapack_eigh,
-            update, linear_solver)
+            update, linear_solver, backend, pallas_interpret)
 
 
 def _damping_iter_body(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                        min_planes, gauge_fix, centered, use_lapack_eigh,
-                       update, linear_solver):
+                       update, linear_solver, backend="xla",
+                       pallas_interpret=False):
     W = R.shape[0]
     dtype = R.dtype
     one_three = jnp.asarray(1.0 / 3.0, dtype)
 
     degenerate = jnp.min(f.planes_per_pose()) < min_planes
 
-    def eval_full(R, p):
-        T = lie.pose_matrix(R, p)
-        if update == "right":
-            return F.evaluate_right(T, f, use_lapack_eigh=use_lapack_eigh)
-        return F.evaluate(
-            T, f, centered=centered, use_lapack_eigh=use_lapack_eigh
-        )
+    if backend == "pallas":
+        from ..ops import packed as packed_mod
+        from ..ops import pallas_evaluate as pe
 
-    def eval_res(R, p):
-        T = lie.pose_matrix(R, p)
-        return F.residual_only(
-            T, f, centered=centered, use_lapack_eigh=use_lapack_eigh
-        )
+        pkf = packed_mod.pack_factors(f)  # once per solve, reused every iter
+
+        def eval_full(R, p):
+            return pe.evaluate_packed(R, p, pkf, interpret=pallas_interpret)
+
+        def eval_res(R, p):
+            return pe.residual_only_packed(
+                R, p, pkf, interpret=pallas_interpret)
+    else:
+        def eval_full(R, p):
+            T = lie.pose_matrix(R, p)
+            if update == "right":
+                return F.evaluate_right(T, f, use_lapack_eigh=use_lapack_eigh)
+            return F.evaluate(
+                T, f, centered=centered, use_lapack_eigh=use_lapack_eigh
+            )
+
+        def eval_res(R, p):
+            T = lie.pose_matrix(R, p)
+            return F.residual_only(
+                T, f, centered=centered, use_lapack_eigh=use_lapack_eigh
+            )
 
     def body(c: _Carry) -> _Carry:
         res1, J, H = jax.lax.cond(

@@ -6,19 +6,36 @@ iteration).  Baseline: the REFERENCE BALM2 solver itself, compiled and
 measured on THIS machine via tests/parity/ (artifacts/
 parity_realworld.json): 4 LM iterations in 9.75 s with 4 threads on the
 same 5529-plane problem -> 0.41 iter/s.
+
+Also reports achieved FLOP/s on the Hessian assembly (the dominant
+compute) and an MFU estimate against the chip's bf16 peak.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_ITERS_PER_SEC = 0.41
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+
+# matmul peak (bf16) by device kind; f32 runs as multi-pass so MFU vs the
+# bf16 number is the honest "fraction of the chip" figure
+_PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,   # v5e
+    "TPU v5e": 197.0,
+    "TPU v4": 275.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,   # v6e
+}
 
 
-def _tpu_alive(timeout=120):
-    """Probe the (tunneled) TPU in a subprocess — device init can hang
-    indefinitely when the tunnel is down."""
+def _tpu_alive(attempts=3, timeout=200):
+    """Probe the (tunneled) TPU in a subprocess — device init can hang for
+    minutes when the shared tunnel is contended, and indefinitely when it
+    is down.  Retry a few times before falling back to CPU."""
     import subprocess
     import sys
 
@@ -27,14 +44,19 @@ def _tpu_alive(timeout=120):
         "x = jnp.ones((8, 8));"
         "print(float((x @ x).sum()))"
     )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True, timeout=timeout,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for k in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, timeout=timeout,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if k + 1 < attempts:
+            time.sleep(10.0)
+    return False
 
 
 def main():
@@ -44,27 +66,40 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from balm_tpu.config import SolverConfig
     from balm_tpu.ops import factors as Fmod
     from balm_tpu.pipelines import realworld
     from balm_tpu.solver import lm
+    from balm_tpu.voxel import grid
+
+    on_tpu = jax.default_backend() == "tpu"
+    backend = os.environ.get("BENCH_BACKEND",
+                             "pallas" if on_tpu else "xla")
 
     dtype = "float32"
     cfg = realworld.RealworldConfig(dtype=dtype, centered=True)
     R, p, scans = realworld.load(cfg)
-    from balm_tpu.voxel import grid
 
     vres = grid.voxelize(scans, R, p, cfg.voxel, dtype=np.float64)
     f = Fmod.recenter_bodies(vres.factors).astype(jnp.dtype(dtype))
     R = jnp.asarray(R, dtype)
     p = jnp.asarray(p, dtype)
+    W = int(R.shape[0])
+    G = int(vres.num_planes)
 
     solver_cfg = SolverConfig(max_iters=10, u_init=0.01, rel_tol=0.0)
 
+    def run():
+        return lm.damping_iter(
+            R, p, f, solver_cfg, centered=True, backend=backend)
+
     # warm up / compile
-    res = lm.damping_iter(R, p, f, solver_cfg, centered=True)
+    res = run()
     res.R.block_until_ready()
     assert float(res.trace_res1[0]) > 0, "residual must be positive"
 
@@ -73,7 +108,7 @@ def main():
     times = []
     for k in range(8):
         t0 = time.perf_counter()
-        res = lm.damping_iter(R, p, f, solver_cfg, centered=True)
+        res = run()
         res.R.block_until_ready()
         times.append(time.perf_counter() - t0)
         if k == 3:
@@ -81,6 +116,21 @@ def main():
     dt = min(times)
     iters = max(int(res.iters), 1)
     ips = iters / dt
+
+    # accepted iterations recompute the Hessian; rejected ones only the
+    # trial residual.  FLOP model: Hessian rank-row matmul (dominant)
+    # + trial-residual moment pass, per accepted iteration.
+    n_acc = int(np.nansum(np.array(res.trace_accept, np.float64)))
+    n_acc = max(n_acc, 1)
+    flops_hess = 2.0 * (6 * W) ** 2 * (3 * G)
+    flops_total = n_acc * flops_hess
+    tflops = flops_total / dt / 1e12
+
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", str(dev))
+    peak = next((v for k2, v in _PEAK_TFLOPS.items() if k2 in str(kind)),
+                None)
+    mfu = (tflops / peak) if peak else None
 
     print(
         json.dumps(
@@ -90,15 +140,20 @@ def main():
                 "unit": "iter/s",
                 "vs_baseline": round(ips / BASELINE_ITERS_PER_SEC, 3),
                 "detail": {
-                    "scans": int(len(scans)),
-                    "planes": int(vres.num_planes),
+                    "scans": W,
+                    "planes": G,
                     "iters": iters,
+                    "accepted": n_acc,
                     "total_s": round(dt, 4),
                     "all_times_s": [round(t, 4) for t in times],
                     "residual_initial": float(res.trace_res1[0]),
                     "residual_final": float(res.residual),
                     "dtype": dtype,
-                    "device": str(jax.devices()[0]),
+                    "backend": backend,
+                    "device": str(dev),
+                    "hessian_tflops": round(tflops, 3),
+                    "mfu_vs_bf16_peak": (round(mfu, 4)
+                                         if mfu is not None else None),
                 },
             }
         )

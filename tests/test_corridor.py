@@ -1,0 +1,43 @@
+"""Corridor pipeline: the large-W matrix-free solver must recover the
+trajectory and agree with the dense flat solver where both fit."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from balm_tpu.ops import factors_windowed as FW
+from balm_tpu.pipelines import corridor
+
+
+def test_corridor_recovers_trajectory():
+    cfg = corridor.CorridorConfig(W=60, dtype="float64", seed=3,
+                                  max_iters=20)
+    out = corridor.run(cfg)
+    assert out["iters"] > 0
+    # an order of magnitude better than the corrupted initialization
+    assert out["rmse_rot_deg"] < 0.15 * out["rmse_rot_deg_init"]
+    assert out["rmse_trans_m"] < 0.15 * out["rmse_trans_m_init"]
+    assert out["rmse_trans_m"] < 0.02
+
+
+def test_corridor_large_matches_dense_flat():
+    from balm_tpu.config import SolverConfig
+    from balm_tpu.solver import large, lm
+
+    cfg = corridor.CorridorConfig(W=40, dtype="float64", seed=5)
+    R_gt, p_gt, wf = corridor.make_corridor(cfg)
+    R0, p0 = corridor.corrupt_poses(R_gt, p_gt, cfg)
+
+    scfg = SolverConfig(max_iters=15, rel_tol=1e-12, min_planes_per_pose=0)
+    rb = large.damping_iter_large(R0, p0, wf, scfg,
+                                  cg_iters=300, cg_tol=1e-11)
+
+    f = FW.to_dense(wf, cfg.W)
+    ra = lm.damping_iter(R0, p0, f, scfg, centered=True)
+
+    assert abs(float(ra.residual) - float(rb.residual)) < 1e-4 * abs(
+        float(ra.residual)) + 1e-12
+    ga = corridor.pose_rmse(ra.R, ra.p, R_gt, p_gt)
+    gb = corridor.pose_rmse(rb.R, rb.p, R_gt, p_gt)
+    # accuracy within 20% of flat (VERDICT round-1 acceptance bar)
+    assert gb[0] < 1.2 * ga[0] + 1e-6
+    assert gb[1] < 1.2 * ga[1] + 1e-8

@@ -1,0 +1,163 @@
+"""Span-compressed factors must reproduce the dense evaluator exactly:
+same residual/gradient, and the factored parts must reassemble to the
+dense Hessian (H = -sum rows^T rows + blockdiag(D))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from balm_tpu.ops import factors, factors_windowed as FW, lie
+
+from test_factors import make_problem
+
+
+def _centered_problem(seed=0, G=8, W=6, sparse_obs=True, with_fix=False):
+    R, p, f, centers = make_problem(G=G, W=W, seed=seed,
+                                    sparse_obs=sparse_obs, with_fix=with_fix)
+    f = factors.recenter_bodies(f._replace(centers=centers))
+    return R, p, f
+
+
+def _dense_from_parts(parts, W):
+    G, T, S, _ = parts.rows.shape
+    idx = np.clip(np.asarray(parts.base)[:, None] + np.arange(S)[None, :],
+                  0, W - 1)
+    H = np.zeros((6 * W, 6 * W))
+    rows = np.asarray(parts.rows)
+    for g in range(G):
+        cols = np.concatenate(
+            [idx[g, s] * 6 + np.arange(6) for s in range(S)])
+        r = rows[g].reshape(T, S * 6)
+        H[np.ix_(cols, cols)] += -(r.T @ r)
+    D = np.asarray(parts.D)
+    for w in range(W):
+        H[6 * w:6 * w + 6, 6 * w:6 * w + 6] += D[w]
+    return H
+
+
+def test_windowed_matches_dense_evaluate():
+    R, p, f = _centered_problem(seed=21, with_fix=True)
+    W = R.shape[0]
+    T = lie.pose_matrix(R, p)
+    res0, J0, H0 = factors.evaluate(T, f, centered=True)
+
+    wf = FW.from_dense(f)
+    parts = FW.evaluate_windowed(R, p, wf)
+    assert abs(float(parts.res) - float(res0)) < 1e-9 * abs(float(res0))
+    assert np.allclose(np.asarray(parts.J).reshape(-1), np.asarray(J0),
+                       atol=1e-9 * float(jnp.max(jnp.abs(J0))))
+    Hre = _dense_from_parts(parts, W)
+    hs = float(jnp.max(jnp.abs(H0)))
+    assert np.max(np.abs(Hre - np.asarray(H0))) < 1e-8 * hs
+
+    r0 = factors.residual_only(T, f, centered=True)
+    r1 = FW.residual_only_windowed(R, p, wf)
+    assert abs(float(r0) - float(r1)) < 1e-10 * abs(float(r0))
+
+
+def test_hvp_and_diag_match_dense():
+    R, p, f = _centered_problem(seed=22)
+    W = R.shape[0]
+    T = lie.pose_matrix(R, p)
+    _, _, H0 = factors.evaluate(T, f, centered=True)
+    wf = FW.from_dense(f)
+    parts = FW.evaluate_windowed(R, p, wf)
+
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.normal(size=(W, 6)))
+    hv = FW.hvp(parts, v, W)
+    hv_dense = (np.asarray(H0) @ np.asarray(v).reshape(-1)).reshape(W, 6)
+    scale = np.max(np.abs(hv_dense)) + 1e-12
+    assert np.max(np.abs(np.asarray(hv) - hv_dense)) < 1e-8 * scale
+
+    dg = FW.hess_diag(parts, W)
+    dg_dense = np.diag(np.asarray(H0)).reshape(W, 6)
+    assert np.max(np.abs(np.asarray(dg) - dg_dense)) < 1e-8 * (
+        np.max(np.abs(dg_dense)) + 1e-12)
+
+    blocks = FW.block_jacobi(parts, W, jnp.asarray(0.0))
+    for w in range(W):
+        blk = np.asarray(H0)[6 * w:6 * w + 6, 6 * w:6 * w + 6]
+        assert np.max(np.abs(np.asarray(blocks[w]) - blk)) < 1e-8 * (
+            np.max(np.abs(blk)) + 1e-12)
+
+
+def test_large_solver_matches_dense_lm():
+    from balm_tpu.config import SolverConfig
+    from balm_tpu.solver import large, lm
+
+    R, p, f = _centered_problem(seed=23, G=10, W=6)
+    rng = np.random.default_rng(4)
+    # small perturbation: H + uD stays SPD, so tight CG must reproduce
+    # the dense LM trajectory step for step
+    dx = jnp.asarray(rng.normal(size=(R.shape[0], 6)) * 0.005)
+    R0, p0 = lie.se3_left_update(R, p, dx)
+
+    cfg = SolverConfig(max_iters=8, rel_tol=0.0, min_planes_per_pose=0)
+    ra = lm.damping_iter(R0, p0, f, cfg, centered=True)
+    wf = FW.from_dense(f)
+    rb = large.damping_iter_large(R0, p0, wf, cfg,
+                                  cg_iters=200, cg_tol=1e-12)
+    # tight CG -> the same LM trajectory
+    assert abs(float(ra.residual) - float(rb.residual)) < 1e-6 * abs(
+        float(ra.residual)) + 1e-12
+    assert float(jnp.max(jnp.abs(ra.p - rb.p))) < 1e-4
+
+
+def test_large_solver_converges_from_rough_start():
+    """With a big perturbation (indefinite exact-Newton H early on) the
+    truncated-CG LM must still reach the dense optimum."""
+    from balm_tpu.config import SolverConfig
+    from balm_tpu.solver import large, lm
+
+    R, p, f = _centered_problem(seed=25, G=10, W=6)
+    rng = np.random.default_rng(7)
+    dx = jnp.asarray(rng.normal(size=(R.shape[0], 6)) * 0.02)
+    R0, p0 = lie.se3_left_update(R, p, dx)
+
+    cfg = SolverConfig(max_iters=25, rel_tol=0.0, min_planes_per_pose=0)
+    ra = lm.damping_iter(R0, p0, f, cfg, centered=True)
+    wf = FW.from_dense(f)
+    rb = large.damping_iter_large(R0, p0, wf, cfg,
+                                  cg_iters=200, cg_tol=1e-10)
+    assert abs(float(ra.residual) - float(rb.residual)) < 1e-3 * abs(
+        float(ra.residual)) + 1e-10
+
+
+def test_windowed_sharded_equals_single_device():
+    """Plane-axis sharding (sorted by base == trajectory segments) must be
+    numerically identical to the replicated computation."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    R, p, f = _centered_problem(seed=24, G=16, W=6)
+    W = R.shape[0]
+    wf = FW.from_dense(f)
+    # sort by base pose (the locality-aware shard order)
+    order = np.argsort(np.asarray(wf.base), kind="stable")
+    wf = jax.tree.map(lambda x: x[jnp.asarray(order)], wf)
+
+    parts0 = FW.evaluate_windowed(R, p, wf)
+
+    ndev = len(jax.devices())
+    mesh = Mesh(np.asarray(jax.devices()), ("factor",))
+    spec = NamedSharding(mesh, P("factor"))
+    # pad plane axis to device multiple
+    G = wf.num_planes
+    Gp = -(-G // ndev) * ndev
+    wfp = jax.tree.map(
+        lambda x: jnp.zeros((Gp,) + x.shape[1:], x.dtype).at[:G].set(x), wf)
+    wfs = jax.tree.map(lambda x: jax.device_put(x, spec), wfp)
+
+    parts1 = FW.evaluate_windowed(R, p, wfs)
+    assert abs(float(parts0.res) - float(parts1.res)) < 1e-9 * abs(
+        float(parts0.res))
+    assert np.allclose(np.asarray(parts0.J), np.asarray(parts1.J),
+                       atol=1e-10 * float(jnp.max(jnp.abs(parts0.J)) + 1e-12))
+    assert np.allclose(np.asarray(parts0.D), np.asarray(parts1.D),
+                       atol=1e-9 * float(jnp.max(jnp.abs(parts0.D)) + 1e-12))
+
+    v = jnp.asarray(np.random.default_rng(1).normal(size=(W, 6)))
+    hv0 = FW.hvp(parts0, v, W)
+    hv1 = FW.hvp(parts1, v, W)
+    assert np.allclose(np.asarray(hv0), np.asarray(hv1),
+                       atol=1e-9 * float(jnp.max(jnp.abs(hv0)) + 1e-12))

@@ -1,0 +1,124 @@
+"""The fused Pallas evaluation path must reproduce the XLA evaluator
+exactly (same math, same f32 precision) and track the f64 oracle.
+
+Runs in interpreter mode on CPU (conftest forces CPU); the compiled TPU
+path is exercised by bench.py / the realworld pipeline on hardware.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from balm_tpu.ops import factors, lie
+from balm_tpu.ops import packed as pk
+from balm_tpu.ops import pallas_evaluate as pe
+
+from test_factors import make_problem
+
+
+def _packed_problem(seed=0, G=6, W=5, far_shift=None, **kw):
+    R, p, f, centers = make_problem(G=G, W=W, seed=seed, **kw)
+    if far_shift is not None:
+        p = p + far_shift
+        centers = centers + far_shift
+    f = f._replace(centers=centers)
+    fr = factors.recenter_bodies(f)
+    f32 = fr.astype(jnp.float32)
+    return (R.astype(jnp.float32), p.astype(jnp.float32), f32,
+            pk.pack_factors(f32), fr, R, p)
+
+
+@pytest.mark.parametrize("sparse_obs,with_fix", [(False, False), (True, True)])
+def test_evaluate_packed_matches_xla(sparse_obs, with_fix):
+    R32, p32, f32, packed, _, _, _ = _packed_problem(
+        seed=11, sparse_obs=sparse_obs, with_fix=with_fix)
+    T32 = lie.pose_matrix(R32, p32)
+    res0, J0, H0 = factors.evaluate(T32, f32, centered=True)
+    res1, J1, H1 = pe.evaluate_packed(R32, p32, packed, interpret=True)
+
+    assert np.isfinite(float(res1))
+    assert abs(float(res0) - float(res1)) < 1e-4 * abs(float(res0))
+    # identical math, different f32 reduction order -> a few ulps per term
+    js = float(jnp.max(jnp.abs(J0))) + 1e-12
+    assert float(jnp.max(jnp.abs(J0 - J1))) < 1e-4 * js
+    hs = float(jnp.max(jnp.abs(H0))) + 1e-12
+    assert float(jnp.max(jnp.abs(H0 - H1))) < 1e-4 * hs
+
+
+def test_evaluate_packed_tracks_f64_oracle():
+    _, _, _, packed, fr, R, p = _packed_problem(seed=12, sparse_obs=True)
+    T = lie.pose_matrix(R, p)
+    res64, J64, H64 = factors.evaluate(T, fr, centered=True)
+    res1, J1, H1 = pe.evaluate_packed(
+        R.astype(jnp.float32), p.astype(jnp.float32), packed, interpret=True)
+    assert abs(float(res64) - float(res1)) < 1e-3 * abs(float(res64))
+    js = float(jnp.max(jnp.abs(J64))) + 1e-12
+    assert float(jnp.max(jnp.abs(J64 - J1))) < 1e-3 * js
+    hs = float(jnp.max(jnp.abs(H64))) + 1e-12
+    assert float(jnp.max(jnp.abs(H64 - H1))) < 1e-3 * hs
+
+
+def test_residual_only_packed_matches():
+    R32, p32, f32, packed, _, _, _ = _packed_problem(
+        seed=13, sparse_obs=True, with_fix=True)
+    # perturbed trial poses (the LM trial-residual use case)
+    dx = jnp.asarray(
+        np.random.default_rng(3).normal(size=(R32.shape[0], 6)) * 0.01,
+        jnp.float32)
+    Rt, pt = lie.se3_left_update(R32, p32, dx)
+    r0 = factors.residual_only(
+        lie.pose_matrix(Rt, pt), f32, centered=True)
+    r1 = pe.residual_only_packed(Rt, pt, packed, interpret=True)
+    assert abs(float(r0) - float(r1)) < 1e-4 * abs(float(r0))
+
+
+def test_far_from_origin_f32_conditioning():
+    """Packed path inherits the centering trick: f32 stays within 1e-3 of
+    f64 even with the scene 300+ m from the origin."""
+    shift = jnp.asarray([300.0, -200.0, 120.0])
+    _, _, _, packed, fr, R, p = _packed_problem(
+        seed=14, far_shift=shift)
+    T = lie.pose_matrix(R, p)
+    res64, J64, H64 = factors.evaluate(T, fr, centered=True)
+    res1, J1, H1 = pe.evaluate_packed(
+        R.astype(jnp.float32), p.astype(jnp.float32), packed, interpret=True)
+    assert abs(float(res64) - float(res1)) < 2e-3 * abs(float(res64))
+    hs = float(jnp.max(jnp.abs(H64)))
+    assert float(jnp.max(jnp.abs(H64 - H1))) < 5e-3 * hs
+
+
+def test_csum_matches_plane_moment():
+    R32, p32, f32, packed, _, _, _ = _packed_problem(
+        seed=15, sparse_obs=True, with_fix=True)
+    T32 = lie.pose_matrix(R32, p32)
+    _, _, TCT, _, NN, vbar, covM = factors._plane_moment(
+        T32, f32, centered=True)
+    pose = pk.pad_poses(R32, p32, packed.wp).astype(jnp.float32)
+    csum = pe.csum_packed(pose, packed.mom, packed.cen, interpret=True)
+    csum = csum + packed.cfix
+    G = f32.num_planes
+    _, _, _, vbar2, cov2 = pk.csum_to_cov(csum, packed.coe)
+    assert float(jnp.max(jnp.abs(csum[9, :G] - NN))) < 1e-4 * float(
+        jnp.max(NN))
+    cs = float(jnp.max(jnp.abs(covM))) + 1e-12
+    assert float(jnp.max(jnp.abs(cov2[:G] - covM))) < 2e-5 * cs
+
+
+def test_lm_backend_pallas_matches_xla():
+    from balm_tpu.config import SolverConfig
+    from balm_tpu.solver import lm
+
+    R32, p32, f32, _, _, _, _ = _packed_problem(seed=16, G=8, W=5,
+                                                sparse_obs=True)
+    # perturb away from the optimum so the loop does real work
+    dx = jnp.asarray(
+        np.random.default_rng(5).normal(size=(R32.shape[0], 6)) * 0.02,
+        jnp.float32)
+    R0, p0 = lie.se3_left_update(R32, p32, dx)
+    cfg = SolverConfig(max_iters=6, rel_tol=0.0)
+    ra = lm.damping_iter(R0, p0, f32, cfg, centered=True, backend="xla")
+    rb = lm.damping_iter(R0, p0, f32, cfg, centered=True, backend="pallas")
+    assert int(ra.iters) == int(rb.iters)
+    assert abs(float(ra.residual) - float(rb.residual)) < 1e-3 * abs(
+        float(ra.residual))
+    assert float(jnp.max(jnp.abs(ra.p - rb.p))) < 1e-3
