@@ -164,7 +164,16 @@ def _gathered_poses(R, p, wf: WindowedFactors):
 
 
 def _window_moment(R, p, wf: WindowedFactors):
-    """World plane moments over the span (centered frame)."""
+    """World plane moments over the span (centered frame).
+
+    The covariance uses a TWO-PASS centered accumulation: pass 1 forms
+    the mean vbar (linear in the moments — no cancellation), pass 2 sums
+        R P R^T + (R v) d^T + d (R v)^T + n d d^T,   d = t - vbar,
+    whose terms are all O(spread^2).  The one-pass form
+    (sum TCT)/N - vbar vbar^T cancels ~(|t|/spread)^2 of the f32
+    mantissa and caps lambda_0 accuracy at a few percent on long
+    trajectories (the corridor-runaway root cause).
+    """
     Rg, t_new = _gathered_poses(R, p, wf)
     G, S = Rg.shape[:2]
     top = jnp.concatenate([Rg, t_new[..., None]], axis=-1)
@@ -172,16 +181,41 @@ def _window_moment(R, p, wf: WindowedFactors):
     Tg = jnp.concatenate([top, bot], axis=-2)                # (G, S, 4, 4)
     TC = sm.matmul(Tg, wf.C)
     TCT = sm.matmul(TC, Tg, transpose_b=True)
+
+    # fixed moment, shifted then recentered about its own centroid
     Sfix = jnp.broadcast_to(
         jnp.eye(4, dtype=wf.Cfix.dtype), wf.Cfix.shape
     ).at[..., :3, 3].set(-wf.centers)
     Cfix = Sfix @ wf.Cfix @ jnp.swapaxes(Sfix, -1, -2)
-    Csum = Cfix + jnp.sum(TCT, axis=1)
-    NN = Csum[..., 3, 3]
+    nf = Cfix[..., 3, 3]
+    nfs = jnp.where(nf > 0.5, nf, 1.0)
+    vf = Cfix[..., :3, 3]
+    bf = vf / nfs[..., None]
+    Pf = Cfix[..., :3, :3] - vf[..., :, None] * vf[..., None, :] / nfs[..., None, None]
+
+    n = wf.C[..., 3, 3]                                      # (G, S)
+    v = wf.C[..., :3, 3]                                     # (G, S, 3)
+    # pass 1: count + mean
+    NN = jnp.sum(n, axis=1) + nf
     NNs = jnp.where(NN > 0.5, NN, 1.0)
-    Cn = Csum / NNs[..., None, None]
-    vbar = Cn[..., :3, 3]
-    covM = Cn[..., :3, :3] - vbar[..., :, None] * vbar[..., None, :]
+    Rv = sm.matvec(Rg, v)                                    # (G, S, 3)
+    vsum = jnp.sum(Rv + n[..., None] * t_new, axis=1) + vf
+    vbar = vsum / NNs[..., None]
+    # pass 2: centered second moment
+    d = t_new - vbar[:, None, :]                             # (G, S, 3)
+    RP = sm.matmul(Rg, wf.C[..., :3, :3])
+    RPRt = sm.matmul(RP, Rg, transpose_b=True)
+    cross = Rv[..., :, None] * d[..., None, :]
+    covN = jnp.sum(
+        RPRt + cross + jnp.swapaxes(cross, -1, -2)
+        + n[..., None, None] * d[..., :, None] * d[..., None, :],
+        axis=1,
+    )
+    df = bf - vbar
+    covN = covN + Pf + nfs[..., None, None] * jnp.where(
+        (nf > 0.5)[..., None, None],
+        df[..., :, None] * df[..., None, :], 0.0)
+    covM = covN / NNs[..., None, None]
     return Tg, TC, TCT, NNs, NN, vbar, covM
 
 

@@ -98,10 +98,16 @@ def pack_factors(f: F.PlaneFactors) -> PackedFactors:
     cen = jnp.pad(f.centers.T, ((0, 0), (0, Gp - G))).astype(dt)
     coe = jnp.pad(f.coe[None, :], ((0, 0), (0, Gp - G))).astype(dt)
 
+    # fixed moment: shift, then recenter about its own centroid so the
+    # kernels' two-pass covariance never sees large-offset products
     Cfs = F._shifted_fix(f)                               # (G, 4, 4)
+    nf = Cfs[..., 3, 3]
+    nfs = jnp.where(nf > 0.5, nf, 1.0)
+    vf = Cfs[..., :3, 3]
+    bf = vf / nfs[..., None]
+    Pf = Cfs[..., :3, :3] - vf[..., :, None] * vf[..., None, :] / nfs[..., None, None]
     cfx = jnp.stack(
-        _sym_channels(Cfs)
-        + [Cfs[..., 0, 3], Cfs[..., 1, 3], Cfs[..., 2, 3], Cfs[..., 3, 3]],
+        _sym_channels(Pf) + [bf[..., 0], bf[..., 1], bf[..., 2], nf],
         axis=0,
     )                                                     # (10, G)
     cfix = jnp.pad(cfx, ((0, 0), (0, Gp - G))).astype(dt)
@@ -109,27 +115,22 @@ def pack_factors(f: F.PlaneFactors) -> PackedFactors:
     return PackedFactors(mom=mom, cen=cen, coe=coe, cfix=cfix)
 
 
-def csum_to_cov(csum, coe):
-    """Csum channels (10, Gp) -> (N, Ns, valid, vbar (3,Gp), cov (Gp,3,3)).
+def csum_to_cov(out, coe):
+    """Kernel-A channels (10, Gp) = [N*cov (6), vsum (3), N] ->
+    (N, Ns, valid, vbar (3,Gp), cov (Gp,3,3)).
 
-    Mirrors factors._plane_moment's normalization (bavoxel.hpp:331-343):
-    cov = P/N - vbar vbar^T in the centered frame.
+    Fills the role of factors._plane_moment's normalization
+    (bavoxel.hpp:331-343) for the two-pass centered accumulation: the
+    covariance arrives already mean-subtracted (no cancellation here).
     """
-    N = csum[9]
+    N = out[9]
     Ns = jnp.where(N > 0.5, N, 1.0)
     valid = (N > 0.5) & (coe[0] > 0)
-    vbar = csum[6:9] / Ns[None, :]                        # (3, Gp)
-    p = csum[:6] / Ns[None, :]
-    vv = vbar
-    cxx = p[0] - vv[0] * vv[0]
-    cxy = p[1] - vv[0] * vv[1]
-    cxz = p[2] - vv[0] * vv[2]
-    cyy = p[3] - vv[1] * vv[1]
-    cyz = p[4] - vv[1] * vv[2]
-    czz = p[5] - vv[2] * vv[2]
-    row0 = jnp.stack([cxx, cxy, cxz], axis=-1)
-    row1 = jnp.stack([cxy, cyy, cyz], axis=-1)
-    row2 = jnp.stack([cxz, cyz, czz], axis=-1)
+    vbar = out[6:9] / Ns[None, :]                         # (3, Gp)
+    c = out[:6] / Ns[None, :]
+    row0 = jnp.stack([c[0], c[1], c[2]], axis=-1)
+    row1 = jnp.stack([c[1], c[3], c[4]], axis=-1)
+    row2 = jnp.stack([c[2], c[4], c[5]], axis=-1)
     cov = jnp.stack([row0, row1, row2], axis=-2)          # (Gp, 3, 3)
     return N, Ns, valid, vbar, cov
 

@@ -108,31 +108,74 @@ def _rprt(r, P):
 # Kernel A: moment accumulation
 # --------------------------------------------------------------------------
 
-def _csum_kernel(pose_ref, mom_ref, cen_ref, out_ref):
+def _csum_kernel(pose_ref, mom_ref, cen_ref, cfix_ref, out_ref):
+    """Two-pass centered moments: out channels = [N*cov (6), vsum (3), N].
+
+    Pass 1 forms vbar (linear, no cancellation), pass 2 accumulates
+        R P R^T + n (t - vbar)(t - vbar)^T
+    directly — the one-pass (sum T C T^T)/N - vbar vbar^T form cancels
+    (|t|/spread)^2 of the f32 mantissa (see factors_windowed
+    ._window_moment).  cfix channels: [P_recentered (6), b (3), n].
+    """
     Wp = mom_ref.shape[0]
     shape = (8, mom_ref.shape[2])
 
-    def body(wt, acc):
+    def pass1(wt, acc):
+        w0 = pl.multiple_of(wt * 8, 8)
+        _, _, n, t, _ = _load_scan_tile(pose_ref, mom_ref, cen_ref, w0)
+        return (acc[0] + n * t[0], acc[1] + n * t[1], acc[2] + n * t[2],
+                acc[3] + n)
+
+    a1 = lax.fori_loop(
+        0, Wp // 8, pass1,
+        tuple(jnp.zeros(shape, jnp.float32) for _ in range(4)))
+    nf = cfix_ref[9:10, :]
+    bf = [cfix_ref[6 + k:7 + k, :] for k in range(3)]
+    N = jnp.sum(a1[3], axis=0, keepdims=True) + nf              # (1, BG)
+    vsum = [jnp.sum(a1[k], axis=0, keepdims=True) + nf * bf[k]
+            for k in range(3)]
+    Ns = jnp.where(N > 0.5, N, 1.0)
+    vbar = [vs / Ns for vs in vsum]                              # (1, BG)
+
+    def pass2(wt, acc):
         w0 = pl.multiple_of(wt * 8, 8)
         r, pch, n, t, _ = _load_scan_tile(pose_ref, mom_ref, cen_ref, w0)
         M = _rprt(r, _sym3(pch))
-        nt = [n * t[i] for i in range(3)]
-        upd = [M[0][0] + nt[0] * t[0], M[0][1] + nt[0] * t[1],
-               M[0][2] + nt[0] * t[2], M[1][1] + nt[1] * t[1],
-               M[1][2] + nt[1] * t[2], M[2][2] + nt[2] * t[2],
-               nt[0], nt[1], nt[2], n]
+        d = [t[k] - vbar[k] for k in range(3)]
+        nd = [n * d[k] for k in range(3)]
+        upd = [M[0][0] + nd[0] * d[0], M[0][1] + nd[0] * d[1],
+               M[0][2] + nd[0] * d[2], M[1][1] + nd[1] * d[1],
+               M[1][2] + nd[1] * d[2], M[2][2] + nd[2] * d[2]]
         return tuple(a + u for a, u in zip(acc, upd))
 
-    acc = lax.fori_loop(
-        0, Wp // 8, body,
-        tuple(jnp.zeros(shape, jnp.float32) for _ in range(10)))
-    for k in range(10):
-        out_ref[k:k + 1, :] = jnp.sum(acc[k], axis=0, keepdims=True)
+    a2 = lax.fori_loop(
+        0, Wp // 8, pass2,
+        tuple(jnp.zeros(shape, jnp.float32) for _ in range(6)))
+    df = [bf[k] - vbar[k] for k in range(3)]
+    fixq = jnp.where(nf > 0.5, nf, 0.0)
+    covN = [jnp.sum(a2[0], axis=0, keepdims=True)
+            + cfix_ref[0:1, :] + fixq * df[0] * df[0],
+            jnp.sum(a2[1], axis=0, keepdims=True)
+            + cfix_ref[1:2, :] + fixq * df[0] * df[1],
+            jnp.sum(a2[2], axis=0, keepdims=True)
+            + cfix_ref[2:3, :] + fixq * df[0] * df[2],
+            jnp.sum(a2[3], axis=0, keepdims=True)
+            + cfix_ref[3:4, :] + fixq * df[1] * df[1],
+            jnp.sum(a2[4], axis=0, keepdims=True)
+            + cfix_ref[4:5, :] + fixq * df[1] * df[2],
+            jnp.sum(a2[5], axis=0, keepdims=True)
+            + cfix_ref[5:6, :] + fixq * df[2] * df[2]]
+    for k in range(6):
+        out_ref[k:k + 1, :] = covN[k]
+    for k in range(3):
+        out_ref[6 + k:7 + k, :] = vsum[k]
+    out_ref[9:10, :] = N
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def csum_packed(pose, mom, cen, *, interpret: bool = False):
-    """pose (Wp,12), mom (Wp,10,Gp), cen (3,Gp) -> Csum channels (10, Gp)."""
+def csum_packed(pose, mom, cen, cfix, *, interpret: bool = False):
+    """pose (Wp,12), mom (Wp,10,Gp), cen (3,Gp), cfix (10,Gp) ->
+    channels (10, Gp): [N*cov (6), vsum (3), N]."""
     Wp, _, Gp = mom.shape
     assert Gp % BG_CSUM == 0 and Wp % 8 == 0
     return pl.pallas_call(
@@ -144,12 +187,14 @@ def csum_packed(pose, mom, cen, *, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, BG_CSUM), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, BG_CSUM), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((10, BG_CSUM), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((10, Gp), jnp.float32),
         interpret=interpret,
-    )(pose, mom, cen)
+    )(pose, mom, cen, cfix)
 
 
 # --------------------------------------------------------------------------
@@ -399,8 +444,8 @@ def evaluate_packed(R, p, pk: PackedFactors, *, gap_eps: float = 1e-9,
     Wp = pk.wp
     pose = pad_poses(R, p, Wp).astype(jnp.float32)
     with jax.default_matmul_precision("float32"):
-        csum = csum_packed(pose, pk.mom, pk.cen, interpret=interpret)
-        csum = csum + pk.cfix
+        csum = csum_packed(pose, pk.mom, pk.cen, pk.cfix,
+                           interpret=interpret)
         res, aux = _aux_from_csum(csum, pk, gap_eps)
         Ht, Jt, Dt = hess_packed(pose, pk.mom, pk.cen, aux,
                                  interpret=interpret)
@@ -418,8 +463,8 @@ def residual_only_packed(R, p, pk: PackedFactors, *, interpret: bool = False):
     W = R.shape[0]
     pose = pad_poses(R, p, pk.wp).astype(jnp.float32)
     with jax.default_matmul_precision("float32"):
-        csum = csum_packed(pose, pk.mom, pk.cen, interpret=interpret)
-        csum = csum + pk.cfix
+        csum = csum_packed(pose, pk.mom, pk.cen, pk.cfix,
+                           interpret=interpret)
         N, Ns, valid, vbar, cov = csum_to_cov(csum, pk.coe)
         lam = eigvals3(cov)
         coew = jnp.where(valid, pk.coe[0], 0.0)

@@ -42,8 +42,8 @@ class CorridorConfig:
     height: float = 2.5
     pts: int = 20              # points per (plane, scan) cluster
     noise: float = 0.005       # out-of-plane point noise (m)
-    init_rot_noise: float = 0.01   # rad, random-walk odometry corruption
-    init_trans_noise: float = 0.01  # m
+    init_rot_noise: float = 0.035   # rad, total RMS of the drift corruption
+    init_trans_noise: float = 0.08  # m, total RMS
     seed: int = 0
     dtype: str = "float32"
     max_iters: int = 30
@@ -154,8 +154,13 @@ def corrupt_poses(R_gt, p_gt, cfg: CorridorConfig):
     pose noise protocol, benchmark_virtual.cpp:300-340)."""
     rng = np.random.default_rng(cfg.seed + 1)
     W = R_gt.shape[0]
-    dw = rng.normal(0, cfg.init_rot_noise, (W, 3)).cumsum(axis=0)
-    dt_ = rng.normal(0, cfg.init_trans_noise, (W, 3)).cumsum(axis=0)
+    # drift-shaped (random walk) but normalized so the END-of-trajectory
+    # RMS equals the configured totals regardless of W — BA is a local
+    # refinement; sqrt(W)-growing corruption would leave its basin
+    dw = rng.normal(0, 1.0, (W, 3)).cumsum(axis=0)
+    dt_ = rng.normal(0, 1.0, (W, 3)).cumsum(axis=0)
+    dw *= cfg.init_rot_noise / np.sqrt(3 * W)
+    dt_ *= cfg.init_trans_noise / np.sqrt(3 * W)
     dw[0] = 0
     dt_[0] = 0
     dtype = R_gt.dtype

@@ -46,7 +46,7 @@ class HierarchicalConfig:
         max_iters=10, u_init=0.01, min_planes_per_pose=1
     )
     top_solver: SolverConfig = SolverConfig(
-        max_iters=10, u_init=0.01, min_planes_per_pose=1
+        max_iters=30, u_init=0.01, min_planes_per_pose=1
     )
     # final flat refinement over all poses (skip for very large W)
     polish: bool = True
@@ -58,17 +58,40 @@ class HierarchicalConfig:
     # solve all bottom-level blocks in ONE vmap-batched LM kernel
     batched_bottom: bool = False
     # repeat (bottom blocks -> anchor solve -> compose) this many times,
-    # re-associating at the refined poses each cycle
-    cycles: int = 1
+    # re-associating at the refined poses each cycle.  3 cycles beat the
+    # flat solver at W=400 without any polish (artifacts/hba_scale.json);
+    # 1 cycle leaves ~2x flat error at that scale.
+    cycles: int = 3
+    # inter-block constraints: overlap-consensus relative-pose factors
+    # between consecutive anchors (ops/pose_graph.py).  Weight =
+    # edge_weight * sigma_pt^2 / max(spread, edge_spread_floor)^2 —
+    # sigma_pt^2 (median per-point plane variance from the bottom solves)
+    # converts the edge into the plane cost's units (sum coe*lambda_0 is
+    # points x m^2), spread is the shared scans' consensus disagreement
+    # (~ the edge's own 1-sigma).  Without the sigma_pt^2 factor the
+    # edges overpower the top-level planes and the hierarchy degenerates
+    # to odometry chaining.
+    use_overlap_edges: bool = True
+    edge_weight: float = 1.0
+    edge_spread_floor: float = 1e-3
+    # recurse the top level when more than this many anchors remain
+    recurse_at: int = 64
 
 
-def _solve_window(scans, R, p, vcfg, scfg):
+def _solve_window(scans, R, p, vcfg, scfg, edges=None):
+    """-> (R, p, num_planes, sigma2) where sigma2 = residual / sum(coe)
+    ~ the per-point out-of-plane noise variance (lambda_0 at the optimum
+    is the plane's point-noise variance) — used to weight pose-graph
+    edges consistently with the plane cost's units."""
     vres = grid.voxelize(list(scans), R, p, vcfg, dtype=np.float64)
     if vres.num_planes == 0:
-        return R, p, 0
+        return R, p, 0, 0.0
     fj = Fmod.PlaneFactors(*[jnp.asarray(x) for x in vres.factors])
-    res = lm.damping_iter(jnp.asarray(R), jnp.asarray(p), fj, scfg)
-    return np.asarray(res.R), np.asarray(res.p), vres.num_planes
+    res = lm.damping_iter(jnp.asarray(R), jnp.asarray(p), fj, scfg,
+                          edges=edges)
+    sum_coe = float(np.sum(np.asarray(fj.coe)))
+    sigma2 = float(res.residual) / max(sum_coe, 1.0)
+    return np.asarray(res.R), np.asarray(res.p), vres.num_planes, sigma2
 
 
 def solve_blocks_batched(block_factors, Rs, ps, scfg: SolverConfig):
@@ -108,6 +131,31 @@ def solve_blocks_batched(block_factors, Rs, ps, scfg: SolverConfig):
     return np.asarray(out.R), np.asarray(out.p)
 
 
+def _edges_in_block(scan_edges, idx):
+    """Subset of scan-level edges with both endpoints in `idx`, remapped
+    to block-local indices (None if empty)."""
+    if scan_edges is None:
+        return None
+    import numpy as _np
+
+    pos = {i: j for j, i in enumerate(idx)}
+    ei = _np.asarray(scan_edges.i)
+    ej = _np.asarray(scan_edges.j)
+    keep = [k for k in range(len(ei)) if ei[k] in pos and ej[k] in pos]
+    if not keep:
+        return None
+    from ..ops import pose_graph as PG
+
+    return PG.RelPoseEdges(
+        i=jnp.asarray([pos[int(ei[k])] for k in keep], jnp.int32),
+        j=jnp.asarray([pos[int(ej[k])] for k in keep], jnp.int32),
+        Zr=jnp.asarray(np.asarray(scan_edges.Zr)[keep]),
+        Zp=jnp.asarray(np.asarray(scan_edges.Zp)[keep]),
+        w_rot=jnp.asarray(np.asarray(scan_edges.w_rot)[keep]),
+        w_tr=jnp.asarray(np.asarray(scan_edges.w_tr)[keep]),
+    )
+
+
 def run(
     scans: Sequence[np.ndarray],
     R: np.ndarray,
@@ -115,8 +163,15 @@ def run(
     cfg: HierarchicalConfig = HierarchicalConfig(),
     *,
     verbose: bool = False,
+    scan_edges=None,
 ):
-    """Returns (R, p, info dict)."""
+    """Returns (R, p, info dict).
+
+    scan_edges: optional RelPoseEdges between the input scan indices
+    (used by the recursive top level to inherit the previous level's
+    inter-block constraints; with chained anchors and overlapping blocks
+    every edge lands fully inside at least one block).
+    """
     W = len(scans)
     R = np.asarray(R, np.float64).copy()
     p = np.asarray(p, np.float64).copy()
@@ -136,6 +191,7 @@ def run(
       anchors = np.zeros(nb, np.int64)
 
       block_local = []
+      sigma2_blocks = []
       for k, s0 in enumerate(starts):
           idx = list(range(s0, min(s0 + cfg.block, W)))
           anchors[k] = idx[0]
@@ -146,7 +202,8 @@ def run(
           pb = np.einsum("ba,nb->na", Ra, p[idx] - pa)
           block_local.append((idx, Rb, pb))
 
-      if cfg.batched_bottom and len({len(b[0]) for b in block_local}) == 1:
+      if (cfg.batched_bottom and scan_edges is None
+              and len({len(b[0]) for b in block_local}) == 1):
           facs = []
           for (idx, Rb, pb) in block_local:
               vres = grid.voxelize(
@@ -163,9 +220,11 @@ def run(
       else:
           solved = []
           for (idx, Rb, pb) in block_local:
-              Rb, pb, nplanes = _solve_window(
-                  [scans[i] for i in idx], Rb, pb, cfg.voxel, cfg.solver
+              Rb, pb, nplanes, sig2 = _solve_window(
+                  [scans[i] for i in idx], Rb, pb, cfg.voxel, cfg.solver,
+                  edges=_edges_in_block(scan_edges, idx),
               )
+              sigma2_blocks.append(sig2)
               info["blocks"].append({"start": idx[0], "size": len(idx),
                                      "planes": nplanes})
               solved.append((idx, Rb, pb))
@@ -177,6 +236,47 @@ def run(
                   owner[i] = k
                   rel_R[i] = Rb[j]
                   rel_p[i] = pb[j]
+
+      # --- inter-block constraints: overlap-consensus anchor edges ---
+      # every scan shared by blocks k and k+1 was refined in BOTH anchor
+      # frames; each gives a measurement of T_ak^-1 T_ak+1, and their
+      # Lie-mean is a strong relative-pose factor that survives the
+      # super-scan compression below (the round-1 top level lost exactly
+      # this information and was 3.5x worse than flat)
+      anchor_edges = None
+      if cfg.use_overlap_edges and nb > 1:
+          from ..ops import pose_graph as PG
+
+          ei, ej, Zr_l, Zp_l, wr_l = [], [], [], [], []
+          for k in range(nb - 1):
+              ia, Ra_, pa_ = solved[k]
+              ib, Rb_, pb_ = solved[k + 1]
+              shared = sorted(set(ia) & set(ib))
+              if not shared:
+                  continue
+              la = [ia.index(s) for s in shared]
+              lb = [ib.index(s) for s in shared]
+              Zr, Zp, spread = PG.consensus_edge(
+                  [Ra_[x] for x in la], [pa_[x] for x in la],
+                  [Rb_[x] for x in lb], [pb_[x] for x in lb])
+              sigma2 = float(np.median(sigma2_blocks)) if sigma2_blocks else 1e-5
+              w = (cfg.edge_weight * sigma2
+                   / max(spread, cfg.edge_spread_floor) ** 2)
+              ei.append(k)
+              ej.append(k + 1)
+              Zr_l.append(Zr)
+              Zp_l.append(Zp)
+              wr_l.append(w)
+          if ei:
+              anchor_edges = PG.RelPoseEdges(
+                  i=jnp.asarray(ei, jnp.int32),
+                  j=jnp.asarray(ej, jnp.int32),
+                  Zr=jnp.asarray(np.stack(Zr_l)),
+                  Zp=jnp.asarray(np.stack(Zp_l)),
+                  w_rot=jnp.asarray(wr_l),
+                  w_tr=jnp.asarray(wr_l),
+              )
+              info["n_edges"] = len(ei)
 
       # --- top level: super-scans in anchor frames ---
       super_scans = []
@@ -192,9 +292,22 @@ def run(
 
       Ra0 = R[anchors]
       pa0 = p[anchors]
-      Ra1, pa1, top_planes = _solve_window(
-          super_scans, Ra0, pa0, cfg.top_voxel, cfg.top_solver
-      )
+      if nb > cfg.recurse_at:
+          # recurse: the anchors become the next level's scan poses
+          sub = dataclasses.replace(cfg, polish=False, cycles=1)
+          Ra1, pa1, sub_info = run(super_scans, Ra0, pa0, sub,
+                                   verbose=verbose,
+                                   scan_edges=anchor_edges)
+          # re-anchor the recursive gauge to this level's first anchor
+          Ra1 = np.einsum("ab,nbc->nac", R[anchors[0]], Ra1)
+          pa1 = np.einsum("ab,nb->na", R[anchors[0]], pa1) + p[anchors[0]]
+          top_planes = sub_info.get("top_planes", 0)
+          info["recursed"] = sub_info
+      else:
+          Ra1, pa1, top_planes, _ = _solve_window(
+              super_scans, Ra0, pa0, cfg.top_voxel, cfg.top_solver,
+              edges=anchor_edges,
+          )
       info["top_planes"] = top_planes
       info["n_blocks"] = nb
 
@@ -207,7 +320,7 @@ def run(
 
     # --- optional flat polish ---
     if cfg.polish:
-        R, p, nplanes = _solve_window(
+        R, p, nplanes, _ = _solve_window(
             list(scans), R, p, cfg.voxel, cfg.polish_solver
         )
         info["polish_planes"] = nplanes

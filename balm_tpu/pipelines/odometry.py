@@ -53,53 +53,114 @@ class OdometryConfig:
     downsample: float = 0.25           # registration downsample
 
 
+def _pack_keys(ks: np.ndarray) -> np.ndarray:
+    """(N, 3) int voxel coords -> packed int64 (21 bits/axis, offset)."""
+    off = np.int64(1) << 20
+    k = ks.astype(np.int64) + off
+    return (k[:, 0] << 42) | (k[:, 1] << 21) | k[:, 2]
+
+
 class VoxelPlaneMap:
-    """Hashed root-voxel map of world-frame cluster moments."""
+    """Hashed root-voxel map of world-frame cluster moments — INCREMENTAL.
+
+    The reference maintains per-voxel `life`/`each_num` counters and
+    routes only new points through existing nodes (bavoxel.hpp:1170-1223,
+    cut_func(win_count-1) at bavoxel.hpp:771).  The equivalents here:
+
+      * moments accumulate per packed voxel key; contributions can be
+        SUBTRACTED again (moment sums form a group), so a re-optimized
+        scan is swapped (remove old contribution, add new) instead of
+        rebuilding the map — O(window) per BA, not O(N).
+      * the plane table (eigendecomposition + gates) is refreshed only
+        for DIRTY voxels, batched with one vectorized eigh call.
+      * point->plane association is a vectorized searchsorted on the
+        sorted packed keys (no per-point Python dict lookups).
+    """
 
     def __init__(self, voxel_size: float, ratio: float, min_points: int):
         self.vs = voxel_size
         self.ratio = ratio
         self.min_points = min_points
-        self.C: Dict[Tuple[int, int, int], np.ndarray] = {}
-        self._planes = None  # cached (keys -> center, normal)
+        self.C: Dict[int, np.ndarray] = {}      # packed key -> 4x4 moment
+        self.planes: Dict[int, Optional[np.ndarray]] = {}  # key -> (2,3)
+        self._dirty: set = set()
+        self._table = None  # (sorted_keys (M,), centers (M,3), normals)
+
+    def scan_contribution(self, world: np.ndarray):
+        """Per-voxel moment sums of one scan: (keys (K,), sums (K,4,4))."""
+        ks = np.floor(world / self.vs).astype(np.int64)
+        packed = _pack_keys(ks)
+        q = np.concatenate([world, np.ones((len(world), 1))], -1)
+        uniq, inv = np.unique(packed, return_inverse=True)
+        sums = np.zeros((len(uniq), 4, 4))
+        np.add.at(sums, inv, q[:, :, None] * q[:, None, :])
+        return uniq, sums
+
+    def add(self, contrib, sign: float = 1.0):
+        keys, sums = contrib
+        for key, s in zip(keys.tolist(), sums):
+            cur = self.C.get(key)
+            if cur is None:
+                self.C[key] = sign * s.copy()
+            else:
+                cur += sign * s
+            self._dirty.add(key)
 
     def insert(self, world: np.ndarray):
-        ks = np.floor(world / self.vs).astype(np.int64)
-        q = np.concatenate([world, np.ones((len(world), 1))], -1)
-        outer = q[:, :, None] * q[:, None, :]
-        uniq, inv = np.unique(ks, axis=0, return_inverse=True)
-        sums = np.zeros((len(uniq), 4, 4))
-        np.add.at(sums, inv, outer)
-        for i, key in enumerate(map(tuple, uniq)):
-            if key in self.C:
-                self.C[key] += sums[i]
-            else:
-                self.C[key] = sums[i]
-        self._planes = None
+        c = self.scan_contribution(world)
+        self.add(c)
+        return c
+
+    def remove(self, contrib):
+        self.add(contrib, sign=-1.0)
+
+    def _refresh_dirty(self):
+        keys = [k for k in self._dirty]
+        self._dirty.clear()
+        if not keys:
+            return
+        Cs = np.stack([self.C[k] for k in keys])
+        N = Cs[:, 3, 3]
+        ok = N >= self.min_points
+        vbar = Cs[:, :3, 3] / np.maximum(N, 1.0)[:, None]
+        cov = Cs[:, :3, :3] / np.maximum(N, 1.0)[:, None, None] - (
+            vbar[:, :, None] * vbar[:, None, :])
+        lam, U = np.linalg.eigh(cov)
+        ok &= lam[:, 0] / np.maximum(lam[:, 1], 1e-30) < self.ratio
+        for i, k in enumerate(keys):
+            self.planes[k] = (
+                np.stack([vbar[i], U[i][:, 0]]) if ok[i] else None)
 
     def plane_table(self):
-        """-> (dict key->row, centers (M,3), normals (M,3)) of valid planes."""
-        if self._planes is not None:
-            return self._planes
-        keys, cents, norms = [], [], []
-        for key, C in self.C.items():
-            N = C[3, 3]
-            if N < self.min_points:
-                continue
-            vbar = C[:3, 3] / N
-            cov = C[:3, :3] / N - np.outer(vbar, vbar)
-            lam, U = np.linalg.eigh(cov)
-            if lam[0] / max(lam[1], 1e-30) < self.ratio:
-                keys.append(key)
-                cents.append(vbar)
-                norms.append(U[:, 0])
-        table = {k: i for i, k in enumerate(keys)}
-        self._planes = (
-            table,
-            np.asarray(cents).reshape(-1, 3),
-            np.asarray(norms).reshape(-1, 3),
-        )
-        return self._planes
+        """-> (sorted packed keys (M,), centers (M,3), normals (M,3))."""
+        if self._dirty:
+            self._refresh_dirty()
+            items = [(k, v) for k, v in self.planes.items() if v is not None]
+            items.sort(key=lambda kv: kv[0])
+            if items:
+                skeys = np.asarray([k for k, _ in items], np.int64)
+                cents = np.stack([v[0] for _, v in items])
+                norms = np.stack([v[1] for _, v in items])
+            else:
+                skeys = np.zeros((0,), np.int64)
+                cents = np.zeros((0, 3))
+                norms = np.zeros((0, 3))
+            self._table = (skeys, cents, norms)
+        if self._table is None:
+            self._table = (np.zeros((0,), np.int64), np.zeros((0, 3)),
+                           np.zeros((0, 3)))
+        return self._table
+
+    def lookup(self, world: np.ndarray) -> np.ndarray:
+        """Vectorized association: rows into the plane table (-1 = none)."""
+        skeys, _, _ = self.plane_table()
+        if len(skeys) == 0:
+            return np.full(len(world), -1, np.int64)
+        packed = _pack_keys(np.floor(world / self.vs).astype(np.int64))
+        pos = np.searchsorted(skeys, packed)
+        pos = np.clip(pos, 0, len(skeys) - 1)
+        hit = skeys[pos] == packed
+        return np.where(hit, pos, -1)
 
 
 @jax.jit
@@ -127,7 +188,7 @@ def _gn_step(R, p, pts, normals, centers, wgt):
 def register_scan(scan: np.ndarray, R0, p0, vmap: VoxelPlaneMap,
                   cfg: OdometryConfig):
     """Point-to-plane registration of one scan against the map."""
-    table, cents, norms = vmap.plane_table()
+    _, cents, norms = vmap.plane_table()
     if len(cents) == 0:
         return R0, p0, 0
     pts = scan
@@ -137,10 +198,7 @@ def register_scan(scan: np.ndarray, R0, p0, vmap: VoxelPlaneMap,
     n_used = 0
     for _ in range(cfg.reg_reassociate):
         world = np.asarray(pts @ np.asarray(R).T + np.asarray(p))
-        ks = np.floor(world / vmap.vs).astype(np.int64)
-        rows = np.asarray(
-            [table.get(tuple(k), -1) for k in ks], np.int64
-        )
+        rows = vmap.lookup(world)
         sel = rows >= 0
         if sel.sum() < 20:
             break
@@ -171,7 +229,12 @@ def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
 
     vmap = VoxelPlaneMap(cfg.voxel_size, cfg.plane_ratio,
                          cfg.min_plane_points)
-    vmap.insert(scans[0] @ R[0].T + p[0])
+    # per-scan map contributions, kept only while the scan can still be
+    # re-optimized by a window BA; older scans are frozen into the map
+    # (the incremental marginalization replacing the O(N^2) full rebuild,
+    # reference to_margi/marginalize bavoxel.hpp:778-816, 948-963)
+    contribs: Dict[int, tuple] = {}
+    contribs[0] = vmap.insert(scans[0] @ R[0].T + p[0])
     info = {"reg_points": [], "ba_runs": 0}
 
     for i in range(1, W):
@@ -187,7 +250,10 @@ def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
 
         R[i], p[i], used = register_scan(scans[i], R[i], p[i], vmap, cfg)
         info["reg_points"].append(used)
-        vmap.insert(scans[i] @ R[i].T + p[i])
+        contribs[i] = vmap.insert(scans[i] @ R[i].T + p[i])
+        # freeze scans that can no longer be touched by any window BA
+        for j in [j for j in contribs if j <= i - cfg.window]:
+            del contribs[j]
 
         # window BA (LM_SLWD_VOXEL equivalent)
         if cfg.ba_every > 0 and i >= cfg.window - 1 and (
@@ -216,11 +282,13 @@ def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
                     R[jj] = A @ Rw[j]
                     p[jj] = A @ pw[j] + b
                 info["ba_runs"] += 1
-                # refresh the map region covered by the window
-                vmap = VoxelPlaneMap(cfg.voxel_size, cfg.plane_ratio,
-                                     cfg.min_plane_points)
-                for j in range(i + 1):
-                    vmap.insert(scans[j] @ R[j].T + p[j])
+                # swap only the re-optimized scans' contributions —
+                # O(window), the map's frozen mass is untouched
+                for jj in idx:
+                    if jj in contribs:
+                        vmap.remove(contribs[jj])
+                        contribs[jj] = vmap.insert(
+                            scans[jj] @ R[jj].T + p[jj])
         if verbose and i % 10 == 0:
             print(f"scan {i}: reg pts {used}, planes {len(vmap.plane_table()[1])}")
 

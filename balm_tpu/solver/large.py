@@ -170,7 +170,12 @@ def _body(R, p, wf, max_iters, u_init, v_init, rel_tol, abs_tol,
         res2 = FW.residual_only_windowed(Rt, pt, wf)
 
         q = res1 - res2
-        accept = (q > 0) & jnp.isfinite(res2)
+        # res2 <= 0 is numerically impossible for a sum of PSD-eigenvalue
+        # costs: it means the trial poses left the region where the f32
+        # centered evaluation is trustworthy -> reject (u grows, the next
+        # step is shorter).  Without this guard one wild step along a
+        # weakly-constrained mode "wins" with a garbage negative cost.
+        accept = (q > 0) & jnp.isfinite(res2) & (res2 > 0)
 
         rho = q / q1
         shrink = 1.0 - (2.0 * rho - 1.0) ** 3

@@ -68,7 +68,7 @@ class _Carry(NamedTuple):
 def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
                  *, centered: bool = False, use_lapack_eigh: bool = False,
                  update: str = "left", linear_solver: str = "cholesky",
-                 backend: str = "xla"):
+                 backend: str = "xla", edges=None):
     """Run the LM loop. R (W,3,3), p (W,3), f: PlaneFactors.
 
     update: 'left' (production, bavoxel.hpp:1122-1125) or 'right'
@@ -80,9 +80,14 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
     ops/pallas_evaluate.py; requires centered=True, left update, float32,
     body-recentered factors).  On non-TPU backends 'pallas' runs in
     interpreter mode (tests); the compiled path needs TPU hardware.
+    edges: optional ops.pose_graph.RelPoseEdges — SE(3) relative-pose
+    factors added to the plane cost (the hierarchical pipeline's
+    inter-block constraints); requires update='left'.
     """
     if update == "right" and centered:
         raise ValueError("right update requires centered=False")
+    if edges is not None and update != "left":
+        raise ValueError("pose-graph edges require the left update")
     if backend == "pallas":
         if not centered or update != "left":
             raise ValueError("pallas backend requires centered=True, left update")
@@ -93,7 +98,7 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
         R, p, f,
         cfg.max_iters, cfg.u_init, cfg.v_init, cfg.rel_tol, cfg.abs_tol,
         cfg.min_planes_per_pose, cfg.gauge_fix, centered, use_lapack_eigh,
-        update, linear_solver, backend, pallas_interpret,
+        update, linear_solver, backend, pallas_interpret, edges,
     )
 
 
@@ -101,7 +106,7 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
 def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                       min_planes, gauge_fix, centered, use_lapack_eigh,
                       update, linear_solver, backend="xla",
-                      pallas_interpret=False):
+                      pallas_interpret=False, edges=None):
     # full f32 matmul precision for EVERYTHING in the loop: on TPU the
     # default runs matmuls (pose composition, triangular solves) in bf16,
     # which silently degrades steps and stalls convergence ~0.1% above
@@ -110,13 +115,13 @@ def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
         return _damping_iter_body(
             R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
             min_planes, gauge_fix, centered, use_lapack_eigh,
-            update, linear_solver, backend, pallas_interpret)
+            update, linear_solver, backend, pallas_interpret, edges)
 
 
 def _damping_iter_body(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                        min_planes, gauge_fix, centered, use_lapack_eigh,
                        update, linear_solver, backend="xla",
-                       pallas_interpret=False):
+                       pallas_interpret=False, edges=None):
     W = R.shape[0]
     dtype = R.dtype
     one_three = jnp.asarray(1.0 / 3.0, dtype)
@@ -129,14 +134,14 @@ def _damping_iter_body(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
 
         pkf = packed_mod.pack_factors(f)  # once per solve, reused every iter
 
-        def eval_full(R, p):
+        def eval_full_planes(R, p):
             return pe.evaluate_packed(R, p, pkf, interpret=pallas_interpret)
 
-        def eval_res(R, p):
+        def eval_res_planes(R, p):
             return pe.residual_only_packed(
                 R, p, pkf, interpret=pallas_interpret)
     else:
-        def eval_full(R, p):
+        def eval_full_planes(R, p):
             T = lie.pose_matrix(R, p)
             if update == "right":
                 return F.evaluate_right(T, f, use_lapack_eigh=use_lapack_eigh)
@@ -144,11 +149,26 @@ def _damping_iter_body(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                 T, f, centered=centered, use_lapack_eigh=use_lapack_eigh
             )
 
-        def eval_res(R, p):
+        def eval_res_planes(R, p):
             T = lie.pose_matrix(R, p)
             return F.residual_only(
                 T, f, centered=centered, use_lapack_eigh=use_lapack_eigh
             )
+
+    if edges is None:
+        eval_full, eval_res = eval_full_planes, eval_res_planes
+    else:
+        from ..ops import pose_graph as PG
+
+        def eval_full(R, p):
+            res, J, H = eval_full_planes(R, p)
+            r2, J2, H2 = PG.evaluate_relpose(R, p, edges)
+            return (res + r2.astype(res.dtype), J + J2.astype(J.dtype),
+                    H + H2.astype(H.dtype))
+
+        def eval_res(R, p):
+            res = eval_res_planes(R, p)
+            return res + PG.relpose_cost(R, p, edges).astype(res.dtype)
 
     def body(c: _Carry) -> _Carry:
         res1, J, H = jax.lax.cond(
@@ -182,7 +202,10 @@ def _damping_iter_body(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
         res2 = eval_res(Rt, pt)
 
         q = res1 - res2
-        accept = q > 0
+        # reject non-finite or non-positive trial costs: the plane cost is
+        # a sum of PSD-matrix eigenvalues, so res2 <= 0 can only mean the
+        # f32 centered evaluation broke down at the trial point
+        accept = (q > 0) & jnp.isfinite(res2) & (res2 > 0)
 
         rho = q / q1
         shrink = 1.0 - (2.0 * rho - 1.0) ** 3

@@ -36,7 +36,7 @@ def main():
 
     # --- W=400: accuracy vs dense flat ---
     cfg = corridor.CorridorConfig(W=400, dtype="float32", seed=7,
-                                  max_iters=30, cg_iters=150, cg_tol=1e-6)
+                                  max_iters=30, cg_iters=250, cg_tol=1e-8)
     R_gt, p_gt, wf = corridor.make_corridor(cfg)
     R0, p0 = corridor.corrupt_poses(R_gt, p_gt, cfg)
     scfg = SolverConfig(max_iters=cfg.max_iters, rel_tol=1e-10,
@@ -74,8 +74,8 @@ def main():
     # --- W=1000, 2000: beyond the dense regime ---
     for Wbig in (1000, 2000):
         cfg = corridor.CorridorConfig(W=Wbig, dtype="float32", seed=8,
-                                      max_iters=30, cg_iters=150,
-                                      cg_tol=1e-6)
+                                      max_iters=30, cg_iters=250,
+                                      cg_tol=1e-8)
         R_gt, p_gt, wf = corridor.make_corridor(cfg)
         R0, p0 = corridor.corrupt_poses(R_gt, p_gt, cfg)
         g0 = corridor.pose_rmse(R0, p0, R_gt, p_gt)

@@ -13,6 +13,19 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+import jax  # noqa: E402
+
+if __name__ == "__main__":
+    # hierarchical runs many small host-driven solves; eager dispatch
+    # through the tunneled TPU costs ~0.3 s per op (axon overrides
+    # JAX_PLATFORMS, so force CPU here)
+    jax.config.update("jax_platforms", "cpu")
+    # the f64 solve path needs x64 — without it jnp.asarray silently
+    # truncates the voxelizer's f64 moments to f32 (uncentered!), which
+    # is exactly the catastrophic-cancellation mode the fast path guards
+    # against; round-1's hierarchical numbers were taken in that mode
+    jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp  # noqa: E402
 
 from balm_tpu.config import SolverConfig, VoxelConfig  # noqa: E402
@@ -92,7 +105,7 @@ def main(W=400):
     hcfg = hierarchical.HierarchicalConfig(
         block=20, stride=16, polish=False,
         voxel=vcfg, top_voxel=VoxelConfig(voxel_size=1.0, min_observers=2),
-    )
+    )  # library defaults: 3 cycles, overlap edges, 30 top iters
     t0 = time.perf_counter()
     Rh, ph, info = hierarchical.run(scans, R0, p0, hcfg)
     t_h = time.perf_counter() - t0

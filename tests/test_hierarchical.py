@@ -64,7 +64,7 @@ def test_hierarchical_matches_flat():
     )
 
     cfg = hierarchical.HierarchicalConfig(
-        block=8, stride=6,
+        block=8, stride=6, cycles=1,   # 1 cycle: mechanics, not peak quality
         voxel=VoxelConfig(voxel_size=1.0, min_observers=2),
         top_voxel=VoxelConfig(voxel_size=1.0, min_observers=2),
     )
@@ -95,9 +95,18 @@ def test_batched_bottom_matches_loop():
     per-block loop."""
     R_gt, p_gt, scans = make_long_scene(W=20, seed=14)
     R0, p0 = perturb_drift(R_gt, p_gt, seed=15)
-    base = hierarchical.HierarchicalConfig(block=8, stride=6, polish=False)
+    from balm_tpu.config import SolverConfig as _SC
+
+    # pinned short top solve + no edges: strict mechanism equality (a
+    # 30-iteration top solve amplifies 1e-9 block-order noise past 1e-8)
+    top = _SC(max_iters=10, u_init=0.01, min_planes_per_pose=1)
+    base = hierarchical.HierarchicalConfig(block=8, stride=6, polish=False,
+                                           cycles=1, top_solver=top,
+                                           use_overlap_edges=False)
     batched = hierarchical.HierarchicalConfig(block=8, stride=6,
-                                              polish=False,
+                                              polish=False, cycles=1,
+                                              top_solver=top,
+                                              use_overlap_edges=False,
                                               batched_bottom=True)
     R1, p1, _ = hierarchical.run(scans, R0, p0, base)
     R2, p2, _ = hierarchical.run(scans, R0, p0, batched)
@@ -109,7 +118,8 @@ def test_hierarchical_no_polish_still_good():
     R_gt, p_gt, scans = make_long_scene(W=24, seed=12)
     R0, p0 = perturb_drift(R_gt, p_gt, seed=13)
     Rg, pg = lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
-    cfg = hierarchical.HierarchicalConfig(block=8, stride=6, polish=False)
+    cfg = hierarchical.HierarchicalConfig(block=8, stride=6, polish=False,
+                                          cycles=1)
     Rh, ph, info = hierarchical.run(scans, R0, p0, cfg)
     rot0, tra0 = metrics.pose_rsme(
         *lie.gauge_fix(jnp.asarray(R0), jnp.asarray(p0)), Rg, pg

@@ -43,3 +43,57 @@ def test_odometry_without_ba_is_worse_or_equal():
     )
     assert float(tra1) <= float(tra0) * 1.5  # BA never catastrophically hurts
     assert float(tra1) < 0.08
+
+
+def test_incremental_map_equals_batch_rebuild():
+    """The incrementally maintained map (freeze + contribution swaps)
+    must equal a from-scratch rebuild at the final poses."""
+    R_gt, p_gt, scans = make_long_scene(W=18, n_planes=40, pts_per=120,
+                                        seed=22)
+    cfg = odometry.OdometryConfig()
+    R, p, info = odometry.run(scans, cfg)
+    assert info["ba_runs"] >= 2  # contribution swaps actually exercised
+
+    # replay: fresh map built at the final poses
+    ref = odometry.VoxelPlaneMap(cfg.voxel_size, cfg.plane_ratio,
+                                 cfg.min_plane_points)
+    inc = odometry.VoxelPlaneMap(cfg.voxel_size, cfg.plane_ratio,
+                                 cfg.min_plane_points)
+    contribs = {}
+    for i in range(len(scans)):
+        world = scans[i] @ R[i].T + p[i]
+        ref.insert(world)
+        contribs[i] = inc.insert(scans[i] @ R_gt[i].T + p_gt[i])  # wrong pose
+    # now swap every scan to the right pose incrementally
+    for i in range(len(scans)):
+        inc.remove(contribs[i])
+        inc.insert(scans[i] @ R[i].T + p[i])
+
+    assert set(k for k, C in ref.C.items() if C[3, 3] > 0.5) == set(
+        k for k, C in inc.C.items() if C[3, 3] > 0.5)
+    for k, C in ref.C.items():
+        if C[3, 3] > 0.5:
+            assert np.allclose(C, inc.C[k], atol=1e-6 * max(C[3, 3], 1.0))
+
+    k0, c0, n0 = ref.plane_table()
+    k1, c1, n1 = inc.plane_table()
+    # drop voxels that cancelled to zero in the incremental map
+    keep = [i for i, k in enumerate(k1) if inc.C[int(k)][3, 3] > 0.5]
+    assert np.array_equal(k0, k1[keep])
+    assert np.allclose(c0, c1[keep], atol=1e-8)
+
+
+def test_map_lookup_vectorized_matches_table():
+    rng = np.random.default_rng(3)
+    vm = odometry.VoxelPlaneMap(1.0, 1.0 / 4.0, 10)
+    pts = np.concatenate([
+        rng.uniform(0, 1, (200, 2)) @ np.diag([1.0, 1.0]).repeat(1, 0),
+        np.full((200, 1), 0.5) + rng.normal(0, 0.002, (200, 1)),
+    ], axis=1)  # one planar voxel at z~0.5
+    vm.insert(pts)
+    keys, cents, norms = vm.plane_table()
+    assert len(keys) == 1
+    rows = vm.lookup(pts)
+    assert np.all(rows == 0)
+    rows2 = vm.lookup(pts + 50.0)  # far away: no hit
+    assert np.all(rows2 == -1)

@@ -88,20 +88,24 @@ def test_far_from_origin_f32_conditioning():
 
 
 def test_csum_matches_plane_moment():
-    R32, p32, f32, packed, _, _, _ = _packed_problem(
+    """Two-pass f32 kernel covariance vs the f64 one-pass oracle — the
+    two-pass form must track f64 tighter than one-pass f32 can."""
+    R32, p32, f32, packed, fr, R, p = _packed_problem(
         seed=15, sparse_obs=True, with_fix=True)
-    T32 = lie.pose_matrix(R32, p32)
+    T = lie.pose_matrix(R, p)
     _, _, TCT, _, NN, vbar, covM = factors._plane_moment(
-        T32, f32, centered=True)
+        T, fr, centered=True)  # f64 oracle
     pose = pk.pad_poses(R32, p32, packed.wp).astype(jnp.float32)
-    csum = pe.csum_packed(pose, packed.mom, packed.cen, interpret=True)
-    csum = csum + packed.cfix
+    csum = pe.csum_packed(pose, packed.mom, packed.cen, packed.cfix,
+                          interpret=True)
     G = f32.num_planes
     _, _, _, vbar2, cov2 = pk.csum_to_cov(csum, packed.coe)
     assert float(jnp.max(jnp.abs(csum[9, :G] - NN))) < 1e-4 * float(
         jnp.max(NN))
     cs = float(jnp.max(jnp.abs(covM))) + 1e-12
     assert float(jnp.max(jnp.abs(cov2[:G] - covM))) < 2e-5 * cs
+    assert float(jnp.max(jnp.abs(vbar2[:, :G].T - vbar))) < 1e-5 * (
+        float(jnp.max(jnp.abs(vbar))) + 1e-12)
 
 
 def test_lm_backend_pallas_matches_xla():
