@@ -183,7 +183,22 @@ def run(
     starts = sorted(set(starts))
     nb = len(starts)
 
+    def _global_residual(Rc, pc):
+        """Full-problem BA cost at the given poses (re-associated) — the
+        cycle acceptance metric."""
+        vres = grid.voxelize(list(scans), Rc, pc, cfg.voxel,
+                             dtype=np.float64)
+        if vres.num_planes == 0:
+            return np.inf
+        fj = Fmod.PlaneFactors(*[jnp.asarray(x) for x in vres.factors])
+        from ..ops import factors as _F
+
+        T = lie.pose_matrix(jnp.asarray(Rc), jnp.asarray(pc))
+        return float(_F.residual_only(T, fj))
+
+    res_prev = _global_residual(R, p)
     for _cycle in range(max(cfg.cycles, 1)):
+      R_snap, p_snap = R.copy(), p.copy()
       # --- bottom level: per-block BA in anchor frames ---
       rel_R = [None] * W   # refined pose of scan i relative to its anchor
       rel_p = [None] * W
@@ -316,6 +331,17 @@ def run(
           k = owner[i]
           R[i] = Ra1[k] @ rel_R[i]
           p[i] = Ra1[k] @ rel_p[i] + pa1[k]
+
+      # --- cycle guard: accept only if the full-problem cost dropped ---
+      # (a diverging top solve would otherwise poison the next cycle's
+      # re-association and amplify across cycles)
+      res_now = _global_residual(R, p)
+      info.setdefault("cycle_residuals", []).append(res_now)
+      if not np.isfinite(res_now) or res_now > res_prev:
+          R, p = R_snap, p_snap
+          info["cycles_reverted"] = info.get("cycles_reverted", 0) + 1
+          break
+      res_prev = res_now
 
 
     # --- optional flat polish ---

@@ -32,7 +32,8 @@ _PEAK_TFLOPS = {
 }
 
 
-def _tpu_alive(attempts=3, timeout=200):
+def _tpu_alive(attempts=int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3")),
+               timeout=int(os.environ.get("BENCH_PROBE_TIMEOUT", "200"))):
     """Probe the (tunneled) TPU in a subprocess — device init can hang for
     minutes when the shared tunnel is contended, and indefinitely when it
     is down.  Retry a few times before falling back to CPU."""

@@ -111,3 +111,72 @@ def test_pa_plane_refit_is_optimal():
         c2 = float(pa._pose_cost(jnp.zeros(4 * 6), jnp.asarray(R0),
                                  jnp.asarray(p0), f, n2, d2))
         assert c2 >= base - 1e-9
+
+
+def test_pa_whitened_converges():
+    """The reference PA algorithm (joint poses + explicit planes,
+    whitened 4-dim residual, PA_test.cpp:104-304) recovers the poses."""
+    from balm_tpu.baselines import pa_whitened
+
+    R_gt, p_gt, R0, p0, body, f, pf = setup(seed=7)
+    R1, p1, cost, iters = pa_whitened.solve(R0, p0, f)
+    Rg, pg = lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
+    rot, tra = metrics.pose_rsme(R1, p1, Rg, pg)
+    assert iters > 0
+    assert float(rot) * 57.3 < 0.5
+    assert float(tra) < 0.03
+
+
+def test_bareg_converges():
+    """The reference BAREG algorithm (closed-form refit + trans/rot-axis
+    factors, BAREG_test.cpp:129-295) recovers the poses."""
+    from balm_tpu.baselines import bareg
+
+    R_gt, p_gt, R0, p0, body, f, pf = setup(seed=8)
+    R1, p1, cost, iters = bareg.solve(R0, p0, f)
+    Rg, pg = lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
+    rot, tra = metrics.pose_rsme(R1, p1, Rg, pg)
+    assert iters > 0
+    assert float(rot) * 57.3 < 0.5
+    assert float(tra) < 0.03
+
+
+def test_method_ordering_matches_reference():
+    """The reference's comparison finding (SURVEY.md section 6): BALM2 is
+    the most accurate; PA and BAREG land between BALM1's first-order
+    sluggishness and BALM2 — here measured as final plane cost on the
+    identical problem."""
+    from balm_tpu.baselines import bareg, pa_whitened
+
+    R_gt, p_gt, R0, p0, body, f, pf = setup(seed=9)
+    Rg, pg = lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
+
+    def acc(R, p):
+        rot, tra = metrics.pose_rsme(
+            jnp.asarray(R), jnp.asarray(p), Rg, pg)
+        return float(rot)
+
+    out = lm.damping_iter(jnp.asarray(R0), jnp.asarray(p0), f,
+                          SolverConfig(max_iters=30, rel_tol=1e-9,
+                                       min_planes_per_pose=1))
+    rot_balm2 = acc(out.R, out.p)
+
+    Rp, pp, _, _ = pa_whitened.solve(R0, p0, f)
+    rot_pa = acc(Rp, pp)
+    Rb, pb, _, _ = bareg.solve(R0, p0, f)
+    rot_bareg = acc(Rb, pb)
+
+    # first-order EF with the same iteration budget as BALM2 used
+    it2 = int(out.iters)
+    R1, p1, res_ef, _ = ef.descend(jnp.asarray(R0), jnp.asarray(p0), f,
+                                   max_iters=it2)
+    rot_ef = acc(*lie.gauge_fix(R1, p1))
+
+    # BALM2 at least as accurate as every comparison method (small slack:
+    # all methods reach the same basin on this clean problem)
+    assert rot_balm2 <= rot_pa * 1.1 + 1e-9
+    assert rot_balm2 <= rot_bareg * 1.1 + 1e-9
+    # at an EQUAL iteration budget first-order EF is clearly behind
+    # (the reference's speed ordering; at unlimited budget all converged
+    # methods sit at the same noise floor)
+    assert rot_ef > rot_balm2
