@@ -40,6 +40,14 @@ class ConsistencyConfig:
     fix_size: int = 1
     pnoise: float = 0.02            # launch/consistency.launch pnoise
     seed: int = 0
+    # the consistency build's extra plane gates (BAs_left.hpp:674):
+    # max point deviation along the normal, lambda_2/lambda_1 cap, and an
+    # absolute lambda_0 cap — all evaluated on the NOISE-FREE clusters
+    # before corruption
+    gate_max_dis: float = 0.001
+    gate_l2_l1: float = 25.0
+    gate_l0_abs: float = 1e-10
+    use_variant_gates: bool = True
     voxel: VoxelConfig = VoxelConfig(
         voxel_size=1.0,
         layer_limit=0,
@@ -74,36 +82,112 @@ def corrupt_and_rebuild(body, scan_id, point_leaf, keep_mask, G, W, rng, pnoise)
     return C.reshape(G, W, 4, 4)
 
 
-def run(cfg: ConsistencyConfig = ConsistencyConfig(), *, verbose: bool = False,
-        scans_override=None):
-    """Returns dict with nees, expected, pose errors, covariance."""
+def variant_gates(vres, scans, R, p, cfg: ConsistencyConfig):
+    """The consistency build's extra plane gates (BAs_left.hpp:674),
+    evaluated on the noise-free clusters: returns a (G,) keep mask."""
+    f = vres.factors
+    G = f.C.shape[0]
+    T = lie.pose_matrix(jnp.asarray(R), jnp.asarray(p))
+    TC = jnp.einsum("wab,gwbc->gwac", T, jnp.asarray(f.C))
+    Q = jnp.asarray(f.Cfix) + jnp.einsum("gwac,wdc->gad", TC, T)
+    N = jnp.maximum(Q[:, 3, 3], 1.0)
+    c = Q[:, :3, 3] / N[:, None]
+    cov = Q[:, :3, :3] / N[:, None, None] - c[:, :, None] * c[:, None, :]
+    lam, U = np.linalg.eigh(np.asarray(cov))
+    keep = lam[:, 2] / np.maximum(lam[:, 1], 1e-300) < cfg.gate_l2_l1
+    keep &= lam[:, 0] < cfg.gate_l0_abs
+
+    # max point deviation along the normal, per leaf (vectorized)
+    body = np.concatenate(scans)
+    sid = vres.point_scan
+    world = np.einsum(
+        "nab,nb->na", np.asarray(R)[sid], body) + np.asarray(p)[sid]
+    leaf = vres.point_leaf
+    sel = leaf >= 0
+    nrm = np.asarray(U[:, :, 0])
+    dev = np.abs(np.einsum(
+        "na,na->n", world[sel] - np.asarray(c)[leaf[sel]],
+        nrm[leaf[sel]]))
+    max_dis = np.zeros(G)
+    np.maximum.at(max_dis, leaf[sel], dev)
+    keep &= max_dis < cfg.gate_max_dis
+    return keep
+
+
+def prepare(cfg: ConsistencyConfig, *, scans_override=None):
+    """Seed-independent setup: load, voxelize, gate, marginalize.
+    Returns (R, p, scans, vres, f_marginalized)."""
     if scans_override is not None:
         R, p, scans = scans_override
     else:
         R, p, scans = load(cfg)
-    W_all = len(scans)
     fix = cfg.fix_size
-    W = W_all - fix
-
     vres = grid.voxelize(
         scans, R, p, cfg.voxel, dtype=np.float64, weighting="unit"
     )
     f_all = vres.factors
-    G = f_all.C.shape[0]  # padded size
-
-    # marginalize the first fix scans at their (noise-free) poses
+    if cfg.use_variant_gates:
+        keep = variant_gates(vres, scans, R, p, cfg)
+        f_all = f_all._replace(
+            coe=jnp.asarray(np.where(keep, np.asarray(f_all.coe), 0.0)))
     T_all = np.asarray(lie.pose_matrix(jnp.asarray(R), jnp.asarray(p)))
-    f = marginalize.marginalize(
-        f_all, T_all[:fix], fix, weighting="unit"
-    )
+    f = marginalize.marginalize(f_all, T_all[:fix], fix, weighting="unit")
+    return R, p, scans, vres, f
+
+
+def run_multi(cfg: ConsistencyConfig = ConsistencyConfig(),
+              seeds=tuple(range(10)), *, verbose: bool = False,
+              scans_override=None):
+    """Monte-Carlo NEES protocol (consistency.cpp:181-197): repeat the
+    corrupt-solve-NEES experiment over seeds; report mean ratio and a
+    normal-approximation confidence interval.  E[NEES] = 6W; for one
+    chi-square_{6W} sample Var = 2*6W, so the mean ratio over S seeds has
+    sd = sqrt(2/(6W S))."""
+    prepared = prepare(cfg, scans_override=scans_override)
+    runs = []
+    for s in seeds:
+        out = run(dataclasses.replace(cfg, seed=int(s)),
+                  _prepared=prepared, verbose=verbose)
+        runs.append(out)
+    W = len(prepared[2]) - cfg.fix_size
+    ratios = np.array([r["ratio"] for r in runs])
+    sd_theory = float(np.sqrt(2.0 / (6 * W * len(seeds))))
+    return {
+        "seeds": list(map(int, seeds)),
+        "ratios": ratios.tolist(),
+        "mean_ratio": float(ratios.mean()),
+        "sd_ratio": float(ratios.std(ddof=1)) if len(seeds) > 1 else 0.0,
+        "sd_theory_of_mean": sd_theory,
+        "expected": 6 * W,
+        "nees": [r["nees"] for r in runs],
+        "num_planes": runs[0]["num_planes"],
+    }
+
+
+def run(cfg: ConsistencyConfig = ConsistencyConfig(), *, verbose: bool = False,
+        scans_override=None, _prepared=None):
+    """Returns dict with nees, expected, pose errors, covariance.
+
+    _prepared: optional output of prepare() — lets the multi-seed sweep
+    reuse the (seed-independent) association and marginalization.
+    """
+    if _prepared is not None:
+        R, p, scans, vres, f = _prepared
+    else:
+        R, p, scans, vres, f = prepare(cfg, scans_override=scans_override)
+    W_all = len(scans)
+    fix = cfg.fix_size
+    W = W_all - fix
+    G = vres.factors.C.shape[0]  # padded size
 
     # corrupt raw window points and rebuild the window moments
     rng = np.random.default_rng(cfg.seed)
     body = np.concatenate(scans)
     scan_id = vres.point_scan
-    keep = scan_id >= fix
+    keep_pts = scan_id >= fix
     C_noisy = corrupt_and_rebuild(
-        body, scan_id - fix, vres.point_leaf, keep, G, W, rng, cfg.pnoise
+        body, scan_id - fix, vres.point_leaf, keep_pts, G, W, rng,
+        cfg.pnoise
     )
     f = f._replace(C=C_noisy)
 

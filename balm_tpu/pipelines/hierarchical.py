@@ -74,8 +74,13 @@ class HierarchicalConfig:
     use_overlap_edges: bool = True
     edge_weight: float = 1.0
     edge_spread_floor: float = 1e-3
-    # recurse the top level when more than this many anchors remain
-    recurse_at: int = 64
+    # recurse the top level when more than this many anchors remain.
+    # A dense anchor solve is cheap well into the hundreds (6*512 = 3072
+    # unknowns), and each recursion level widens the anchor spacing,
+    # weakening the voxel association between super-scans — so recursion
+    # is reserved for maps whose anchor count alone exceeds the dense
+    # solver's comfort zone (W >> 10^4 raw scans).
+    recurse_at: int = 512
 
 
 def _solve_window(scans, R, p, vcfg, scfg, edges=None):

@@ -40,6 +40,8 @@ from ..voxel import grid
 class OdometryConfig:
     voxel_size: float = 1.0
     plane_ratio: float = 1.0 / 9.0    # map-plane eigen gate (v1 used 1/9)
+    line_ratio: float = 1.0 / 16.0    # map-LINE gate: lambda_1/lambda_2
+    use_lines: bool = True            # point-to-line registration factors
     min_plane_points: int = 20
     reg_iters: int = 6                 # point-to-plane GN iterations
     reg_reassociate: int = 2           # association passes (two-pass, C40)
@@ -77,14 +79,18 @@ class VoxelPlaneMap:
         sorted packed keys (no per-point Python dict lookups).
     """
 
-    def __init__(self, voxel_size: float, ratio: float, min_points: int):
+    def __init__(self, voxel_size: float, ratio: float, min_points: int,
+                 line_ratio: float = 0.0):
         self.vs = voxel_size
         self.ratio = ratio
+        self.line_ratio = line_ratio    # 0 disables line landmarks
         self.min_points = min_points
         self.C: Dict[int, np.ndarray] = {}      # packed key -> 4x4 moment
         self.planes: Dict[int, Optional[np.ndarray]] = {}  # key -> (2,3)
+        self.lines: Dict[int, Optional[np.ndarray]] = {}   # key -> (2,3)
         self._dirty: set = set()
         self._table = None  # (sorted_keys (M,), centers (M,3), normals)
+        self._ltable = None  # (sorted_keys (L,), centers (L,3), dirs (L,3))
 
     def scan_contribution(self, world: np.ndarray):
         """Per-voxel moment sums of one scan: (keys (K,), sums (K,4,4))."""
@@ -121,46 +127,70 @@ class VoxelPlaneMap:
             return
         Cs = np.stack([self.C[k] for k in keys])
         N = Cs[:, 3, 3]
-        ok = N >= self.min_points
+        enough = N >= self.min_points
         vbar = Cs[:, :3, 3] / np.maximum(N, 1.0)[:, None]
         cov = Cs[:, :3, :3] / np.maximum(N, 1.0)[:, None, None] - (
             vbar[:, :, None] * vbar[:, None, :])
         lam, U = np.linalg.eigh(cov)
-        ok &= lam[:, 0] / np.maximum(lam[:, 1], 1e-30) < self.ratio
+        ok = enough & (
+            lam[:, 0] / np.maximum(lam[:, 1], 1e-30) < self.ratio)
+        # line landmark: thin in TWO directions, long in one
+        # (balmclass.hpp's line correspondences; v1 edge landmarks)
+        okl = enough & ~ok & (
+            lam[:, 1] / np.maximum(lam[:, 2], 1e-30) < self.line_ratio)
         for i, k in enumerate(keys):
             self.planes[k] = (
                 np.stack([vbar[i], U[i][:, 0]]) if ok[i] else None)
+            self.lines[k] = (
+                np.stack([vbar[i], U[i][:, 2]]) if okl[i] else None)
+
+    @staticmethod
+    def _build_table(d):
+        items = [(k, v) for k, v in d.items() if v is not None]
+        items.sort(key=lambda kv: kv[0])
+        if items:
+            return (np.asarray([k for k, _ in items], np.int64),
+                    np.stack([v[0] for _, v in items]),
+                    np.stack([v[1] for _, v in items]))
+        return (np.zeros((0,), np.int64), np.zeros((0, 3)),
+                np.zeros((0, 3)))
+
+    def _refresh_tables(self):
+        if self._dirty:
+            self._refresh_dirty()
+            self._table = self._build_table(self.planes)
+            self._ltable = self._build_table(self.lines)
+        if self._table is None:
+            self._table = self._build_table(self.planes)
+        if self._ltable is None:
+            self._ltable = self._build_table(self.lines)
 
     def plane_table(self):
         """-> (sorted packed keys (M,), centers (M,3), normals (M,3))."""
-        if self._dirty:
-            self._refresh_dirty()
-            items = [(k, v) for k, v in self.planes.items() if v is not None]
-            items.sort(key=lambda kv: kv[0])
-            if items:
-                skeys = np.asarray([k for k, _ in items], np.int64)
-                cents = np.stack([v[0] for _, v in items])
-                norms = np.stack([v[1] for _, v in items])
-            else:
-                skeys = np.zeros((0,), np.int64)
-                cents = np.zeros((0, 3))
-                norms = np.zeros((0, 3))
-            self._table = (skeys, cents, norms)
-        if self._table is None:
-            self._table = (np.zeros((0,), np.int64), np.zeros((0, 3)),
-                           np.zeros((0, 3)))
+        self._refresh_tables()
         return self._table
 
-    def lookup(self, world: np.ndarray) -> np.ndarray:
-        """Vectorized association: rows into the plane table (-1 = none)."""
-        skeys, _, _ = self.plane_table()
+    def line_table(self):
+        """-> (sorted packed keys (L,), centers (L,3), directions (L,3))."""
+        self._refresh_tables()
+        return self._ltable
+
+    @staticmethod
+    def _lookup_in(skeys, world, vs):
         if len(skeys) == 0:
             return np.full(len(world), -1, np.int64)
-        packed = _pack_keys(np.floor(world / self.vs).astype(np.int64))
+        packed = _pack_keys(np.floor(world / vs).astype(np.int64))
         pos = np.searchsorted(skeys, packed)
         pos = np.clip(pos, 0, len(skeys) - 1)
         hit = skeys[pos] == packed
         return np.where(hit, pos, -1)
+
+    def lookup(self, world: np.ndarray) -> np.ndarray:
+        """Vectorized association: rows into the plane table (-1 = none)."""
+        return self._lookup_in(self.plane_table()[0], world, self.vs)
+
+    def lookup_lines(self, world: np.ndarray) -> np.ndarray:
+        return self._lookup_in(self.line_table()[0], world, self.vs)
 
 
 @jax.jit
@@ -185,10 +215,46 @@ def _gn_step(R, p, pts, normals, centers, wgt):
     return Rn, pn, cost
 
 
+@jax.jit
+def _gn_mixed(R, p, pts, normals, centers, wgt, lpts, ldirs, lcents, lwgt):
+    """One GN step on plane + LINE residuals (the reference's odometry
+    handles both correspondence types, balmclass.hpp:1069-1231):
+
+        E = sum w_p (n.(Rx+p-c))^2 + sum w_l |P_perp (Rx+p-c)|^2,
+        P_perp = I - d d^T.
+    """
+    with jax.default_matmul_precision("float32"):
+        x = pts @ R.T + p
+        r = jnp.sum(normals * (x - centers), axis=-1)
+        J = jnp.concatenate([jnp.cross(x, normals), normals], axis=-1)
+        Jw_ = J * wgt[:, None]
+        H = Jw_.T @ J
+        g = Jw_.T @ r
+        cost = jnp.sum(wgt * r * r)
+
+        xl = lpts @ R.T + p
+        e0 = xl - lcents
+        proj = jnp.sum(ldirs * e0, axis=-1)
+        e = e0 - ldirs * proj[:, None]                   # (L, 3)
+        eye3 = jnp.eye(3, dtype=R.dtype)
+        A = eye3 - ldirs[:, :, None] * ldirs[:, None, :]  # (L, 3, 3)
+        hatx = lie.hat(xl)
+        Jl = jnp.concatenate(
+            [-jnp.einsum("lab,lbc->lac", A, hatx), A], axis=-1)  # (L,3,6)
+        H = H + jnp.einsum("l,lai,laj->ij", lwgt, Jl, Jl)
+        g = g + jnp.einsum("l,lai,la->i", lwgt, Jl, e)
+        cost = cost + jnp.sum(lwgt * jnp.sum(e * e, axis=-1))
+
+        dx = jnp.linalg.solve(H + 1e-6 * jnp.eye(6), -g)
+        Rn, pn = lie.se3_left_update(R, p, dx)
+        return Rn, pn, cost
+
+
 def register_scan(scan: np.ndarray, R0, p0, vmap: VoxelPlaneMap,
                   cfg: OdometryConfig):
-    """Point-to-plane registration of one scan against the map."""
+    """Point-to-plane (+ point-to-line) registration against the map."""
     _, cents, norms = vmap.plane_table()
+    lkeys, lcents, ldirs = vmap.line_table()
     if len(cents) == 0:
         return R0, p0, 0
     pts = scan
@@ -196,6 +262,7 @@ def register_scan(scan: np.ndarray, R0, p0, vmap: VoxelPlaneMap,
         pts = grid.down_sample_voxel(pts, cfg.downsample)
     R, p = jnp.asarray(R0), jnp.asarray(p0)
     n_used = 0
+    use_lines = cfg.use_lines and len(lkeys) > 0
     for _ in range(cfg.reg_reassociate):
         world = np.asarray(pts @ np.asarray(R).T + np.asarray(p))
         rows = vmap.lookup(world)
@@ -206,13 +273,29 @@ def register_scan(scan: np.ndarray, R0, p0, vmap: VoxelPlaneMap,
         P = jnp.asarray(pts[sel])
         Nn = jnp.asarray(norms[rows[sel]])
         Cc = jnp.asarray(cents[rows[sel]])
+        if use_lines:
+            lrows = vmap.lookup_lines(world)
+            lsel = lrows >= 0
+            Pl = jnp.asarray(pts[lsel].reshape(-1, 3))
+            Dl = jnp.asarray(ldirs[lrows[lsel]].reshape(-1, 3))
+            Cl = jnp.asarray(lcents[lrows[lsel]].reshape(-1, 3))
+            n_used += int(lsel.sum())
         for _ in range(cfg.reg_iters):
             # huber-style reweighting on current residuals
             x = P @ R.T + p
             r = jnp.sum(Nn * (x - Cc), axis=-1)
             w = jnp.where(jnp.abs(r) < cfg.huber, 1.0,
                           cfg.huber / jnp.maximum(jnp.abs(r), 1e-12))
-            R, p, cost = _gn_point_to_plane(R, p, P, Nn, Cc, w)
+            if use_lines and Pl.shape[0] > 0:
+                xl = Pl @ R.T + p
+                e0 = xl - Cl
+                el = jnp.linalg.norm(
+                    e0 - Dl * jnp.sum(Dl * e0, -1, keepdims=True), axis=-1)
+                wl = jnp.where(el < cfg.huber, 1.0,
+                               cfg.huber / jnp.maximum(el, 1e-12))
+                R, p, cost = _gn_mixed(R, p, P, Nn, Cc, w, Pl, Dl, Cl, wl)
+            else:
+                R, p, cost = _gn_point_to_plane(R, p, P, Nn, Cc, w)
     return np.asarray(R), np.asarray(p), n_used
 
 
@@ -228,7 +311,8 @@ def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
         p[0] = p_init
 
     vmap = VoxelPlaneMap(cfg.voxel_size, cfg.plane_ratio,
-                         cfg.min_plane_points)
+                         cfg.min_plane_points,
+                         line_ratio=cfg.line_ratio if cfg.use_lines else 0.0)
     # per-scan map contributions, kept only while the scan can still be
     # re-optimized by a window BA; older scans are frozen into the map
     # (the incremental marginalization replacing the O(N^2) full rebuild,

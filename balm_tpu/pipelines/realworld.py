@@ -121,15 +121,27 @@ def run(cfg: RealworldConfig = RealworldConfig(), *, verbose: bool = False):
         )
         # convergence curve in the Supplementary/data format:
         # "cumulative_time(s) cost" per accepted iteration
-        # (Supplementary/data/readme.txt)
-        n = int(res.iters)
-        accepted = np.array(res.trace_accept)[:n] > 0.5
-        costs = np.array(res.trace_res2)[:n][accepted]
-        per_iter = t_solve / max(n, 1)
+        # (Supplementary/data/readme.txt).  HONEST timestamps: re-run the
+        # identical loop body host-stepped, synchronizing per iteration.
+        res_t, t_iter = lm.damping_iter_timed(
+            jnp.asarray(R, dtype), jnp.asarray(p, dtype), f, cfg.solver,
+            centered=cfg.centered,
+        )
+        n = int(res_t.iters)
+        accepted = np.array(res_t.trace_accept)[:n] > 0.5
+        costs = np.array(res_t.trace_res2)[:n][accepted]
+        tstamps = np.asarray(t_iter)[:n][accepted]
         with open(out / "convergence.txt", "w") as fh:
-            fh.write(f"0.0 {summary['residual_initial']:.6f}\n")
-            for k, cst in enumerate(costs):
-                fh.write(f"{(k + 1) * per_iter:.4f} {cst:.6f}\n")
+            fh.write(f"0.0 {float(res_t.trace_res1[0]):.6f}\n")
+            for tk, cst in zip(tstamps, costs):
+                fh.write(f"{tk:.4f} {cst:.6f}\n")
+        # colored per-leaf plane cloud (headless tras_display,
+        # bavoxel.hpp:825-871)
+        from ..io import planecloud
+
+        planecloud.export_plane_cloud(
+            scans, np.asarray(res.R), np.asarray(res.p),
+            vres.point_scan, vres.point_leaf, out / "plane_cloud")
         summary["export_dir"] = str(out)
     if verbose:
         print(lm.format_trace(res))

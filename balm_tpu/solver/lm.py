@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import SolverConfig
 from ..ops import factors as F
@@ -118,10 +119,13 @@ def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
             update, linear_solver, backend, pallas_interpret, edges)
 
 
-def _damping_iter_body(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
-                       min_planes, gauge_fix, centered, use_lapack_eigh,
-                       update, linear_solver, backend="xla",
-                       pallas_interpret=False, edges=None):
+def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
+                min_planes, centered, use_lapack_eigh, update,
+                linear_solver, backend="xla", pallas_interpret=False,
+                edges=None):
+    """Construct (cond, body, init, degenerate, eval_res) for the LM loop
+    — shared by the fused while_loop solver and the host-stepped timed
+    variant (honest per-iteration wall-clock for convergence curves)."""
     W = R.shape[0]
     dtype = R.dtype
     one_three = jnp.asarray(1.0 / 3.0, dtype)
@@ -251,12 +255,13 @@ def _damping_iter_body(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
         done=jnp.asarray(False),
         t_res1=nan, t_res2=nan, t_u=nan, t_acc=nan,
     )
-    c = jax.lax.while_loop(cond, body, init)
+    return cond, body, init, degenerate, eval_res
 
+
+def _finish(c: _Carry, degenerate, eval_res, gauge_fix):
     Rf, pf = c.R, c.p
     if gauge_fix:
         Rf, pf = lie.gauge_fix(Rf, pf)
-
     final_res = jax.lax.cond(
         c.it > 0, lambda: c.res1, lambda: eval_res(c.R, c.p)
     )
@@ -266,6 +271,57 @@ def _damping_iter_body(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
         trace_res1=c.t_res1, trace_res2=c.t_res2,
         trace_u=c.t_u, trace_accept=c.t_acc,
     )
+
+
+def _damping_iter_body(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
+                       min_planes, gauge_fix, centered, use_lapack_eigh,
+                       update, linear_solver, backend="xla",
+                       pallas_interpret=False, edges=None):
+    cond, body, init, degenerate, eval_res = _build_loop(
+        R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol, min_planes,
+        centered, use_lapack_eigh, update, linear_solver, backend,
+        pallas_interpret, edges)
+    c = jax.lax.while_loop(cond, body, init)
+    return _finish(c, degenerate, eval_res, gauge_fix)
+
+
+def damping_iter_timed(R, p, f: F.PlaneFactors,
+                       cfg: SolverConfig = SolverConfig(), *,
+                       centered: bool = False,
+                       use_lapack_eigh: bool = False,
+                       backend: str = "xla"):
+    """LM with HONEST per-iteration wall-clock timestamps.
+
+    Runs the identical loop body as damping_iter but stepped from the
+    host, recording wall-clock after each device-synchronized iteration
+    — the Supplementary 'time cost' convergence-curve protocol
+    (Supplementary/data/readme.txt) requires real accepted-iteration
+    times, not synthesized ones.  Returns (LMResult, times (iters,)
+    seconds since solve start).
+    """
+    import time as _time
+
+    pallas_interpret = jax.default_backend() != "tpu"
+    with jax.default_matmul_precision("float32"):
+        cond, body, init, degenerate, eval_res = _build_loop(
+            R, p, f, cfg.max_iters, cfg.u_init, cfg.v_init, cfg.rel_tol,
+            cfg.abs_tol, cfg.min_planes_per_pose, centered,
+            use_lapack_eigh, "left", "cholesky", backend,
+            pallas_interpret, None)
+        step = jax.jit(body)
+        cond_j = jax.jit(cond)
+
+        # warm up (compile) outside the timed region
+        jax.block_until_ready(step(init))
+
+        times = []
+        c = init
+        t0 = _time.perf_counter()
+        while bool(cond_j(c)):
+            c = jax.block_until_ready(step(c))
+            times.append(_time.perf_counter() - t0)
+        res = _finish(c, degenerate, eval_res, cfg.gauge_fix)
+    return res, np.asarray(times)
 
 
 def format_trace(result: LMResult) -> str:

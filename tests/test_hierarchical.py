@@ -126,3 +126,23 @@ def test_hierarchical_no_polish_still_good():
     )
     roth, trah = metrics.pose_rsme(jnp.asarray(Rh), jnp.asarray(ph), Rg, pg)
     assert float(trah) < 0.4 * float(tra0)
+
+
+def test_recursive_top_level_matches_direct():
+    """Forcing recursion at a tiny anchor count must land at the same
+    quality as the direct top solve (mechanism regression test; the
+    production default reserves recursion for huge maps)."""
+    R_gt, p_gt, scans = make_long_scene(W=24, seed=31)
+    R0, p0 = perturb_drift(R_gt, p_gt, seed=32)
+    Rg, pg = lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
+
+    base = hierarchical.HierarchicalConfig(block=8, stride=6, polish=False,
+                                           cycles=1)
+    rec = hierarchical.HierarchicalConfig(block=8, stride=6, polish=False,
+                                          cycles=1, recurse_at=2)
+    R1, p1, i1 = hierarchical.run(scans, R0, p0, base)
+    R2, p2, i2 = hierarchical.run(scans, R0, p0, rec)
+    assert "recursed" in i2 and "recursed" not in i1
+    _, t1 = metrics.pose_rsme(jnp.asarray(R1), jnp.asarray(p1), Rg, pg)
+    _, t2 = metrics.pose_rsme(jnp.asarray(R2), jnp.asarray(p2), Rg, pg)
+    assert float(t2) < 2.0 * float(t1) + 1e-4

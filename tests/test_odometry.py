@@ -97,3 +97,42 @@ def test_map_lookup_vectorized_matches_table():
     assert np.all(rows == 0)
     rows2 = vm.lookup(pts + 50.0)  # far away: no hit
     assert np.all(rows2 == -1)
+
+
+def test_point_to_line_registration():
+    """A pole (line landmark) plus a floor constrains the pose; the mixed
+    plane+line GN must recover a perturbed pose (balmclass.hpp:1069-1231
+    handles both correspondence types)."""
+    import jax.numpy as jnp
+    from balm_tpu.ops import lie as _lie
+
+    rng = np.random.default_rng(8)
+    # floor plane voxel points + two vertical pole voxels
+    floor = np.stack([rng.uniform(0, 3, 400), rng.uniform(0, 3, 400),
+                      rng.normal(0, 0.004, 400)], -1)
+    pole1 = np.stack([np.full(360, 0.5) + rng.normal(0, 0.004, 360),
+                      np.full(360, 0.5) + rng.normal(0, 0.004, 360),
+                      rng.uniform(0.1, 2.9, 360)], -1)
+    pole2 = np.stack([np.full(360, 2.5) + rng.normal(0, 0.004, 360),
+                      np.full(360, 1.5) + rng.normal(0, 0.004, 360),
+                      rng.uniform(0.1, 2.9, 360)], -1)
+    scan = np.concatenate([floor, pole1, pole2])
+
+    cfg = odometry.OdometryConfig(downsample=0.0, reg_iters=10,
+                                  reg_reassociate=3)
+    vm = odometry.VoxelPlaneMap(cfg.voxel_size, cfg.plane_ratio,
+                                cfg.min_plane_points,
+                                line_ratio=cfg.line_ratio)
+    vm.insert(scan)
+    assert len(vm.line_table()[0]) >= 1, "poles must form line landmarks"
+    assert len(vm.plane_table()[0]) >= 4
+
+    dR = np.asarray(_lie.so3_exp(jnp.asarray([0.01, -0.02, 0.03])))
+    dp = np.array([0.05, -0.04, 0.03])
+    # scan seen from a perturbed pose: body = dR^T (world - dp)
+    body = (scan - dp) @ dR
+    R1, p1, used = odometry.register_scan(
+        body, np.eye(3), np.zeros(3), vm, cfg)
+    assert used > 100
+    assert np.max(np.abs(R1 - dR)) < 5e-3
+    assert np.max(np.abs(p1 - dp)) < 5e-3

@@ -35,3 +35,28 @@ def test_realworld_f32_centered_matches_f64():
     # (the reference's float build parity, Supplementary col 5)
     assert abs(o32["residual_initial"] - o64["residual_initial"]) < 1e-3 * o64["residual_initial"]
     assert abs(o32["residual_final"] - o64["residual_final"]) < 5e-3 * o64["residual_final"]
+
+
+def test_export_honest_curve_and_plane_cloud(tmp_path):
+    from balm_tpu.pipelines import realworld
+
+    cfg = realworld.RealworldConfig(max_scans=12, export_dir=str(tmp_path))
+    out = realworld.run(cfg)
+    assert out["status"] == "ok"
+    # convergence.txt: strictly increasing REAL timestamps, decreasing cost
+    lines = (tmp_path / "convergence.txt").read_text().strip().splitlines()
+    assert len(lines) >= 2
+    ts = [float(l.split()[0]) for l in lines]
+    cs = [float(l.split()[1]) for l in lines]
+    assert all(b > a for a, b in zip(ts, ts[1:]))
+    assert cs[-1] < cs[0]
+    # plane cloud artifacts exist and parse
+    ply = (tmp_path / "plane_cloud.ply").read_text().splitlines()
+    assert ply[0] == "ply"
+    nvert = int([l for l in ply if l.startswith("element vertex")][0].split()[-1])
+    assert nvert > 1000
+    import numpy as _np
+
+    npz = _np.load(tmp_path / "plane_cloud.npz")
+    assert npz["world"].shape[0] == nvert
+    assert npz["leaf"].min() >= 0
