@@ -41,6 +41,9 @@ class RealworldConfig:
     dtype: str = "float64"
     centered: bool = False     # enable for the f32 fast path
     downsample: float = 0.0    # optional voxel downsample of input scans
+    # fuse coplanar leaves into single factors before the solve
+    # (VOXEL_MERGE, bavoxel.hpp:484-624)
+    merge_planes: bool = False
     # write refined trajectory (reference CSV format) + convergence curve
     # ("time cost" per accepted iteration, the Supplementary/data format)
     export_dir: Optional[str] = None
@@ -75,6 +78,14 @@ def run(cfg: RealworldConfig = RealworldConfig(), *, verbose: bool = False):
     vres = grid.voxelize(scans, R, p, cfg.voxel, dtype=np.float64)
     t_assoc = time.perf_counter() - t0
     f = vres.factors
+    num_planes = vres.num_planes
+    merged_planes = None
+    if cfg.merge_planes:
+        from ..voxel import merge as merge_mod
+
+        f, merged_planes, _ = merge_mod.merge_coplanar(f, num_planes)
+        f = Fmod.PlaneFactors(*[jnp.asarray(x) for x in f])
+        num_planes = merged_planes
     if cfg.centered:
         f = Fmod.recenter_bodies(f)
     if dtype != jnp.float64:
@@ -84,6 +95,7 @@ def run(cfg: RealworldConfig = RealworldConfig(), *, verbose: bool = False):
         "num_scans": W,
         "num_points": int(sum(len(s) for s in scans)),
         "num_planes": vres.num_planes,
+        "merged_planes": merged_planes,
         "t_load_s": t_load,
         "t_assoc_s": t_assoc,
     }

@@ -52,10 +52,15 @@ def measure(R, p, f: PlaneFactors, device_counts: Optional[List[int]] = None,
         ips = max(int(res.iters), 1) / best
         if base_ips is None:
             base_ips = ips
+        # efficiency relative to LINEAR scaling from the first measured
+        # count: ips(base) * (nd / base_nd).  (The round-1 form divided
+        # by nd as if the baseline were 1 device, reporting wrong numbers
+        # whenever device_counts didn't start at 1.)
         results.append({
             "devices": nd,
             "iters_per_sec": ips,
             "efficiency": ips / (base_ips * nd / device_counts[0]),
+            "speedup_vs_base": ips / base_ips,
             "residual": float(res.residual),
         })
     return results

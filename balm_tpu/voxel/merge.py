@@ -55,30 +55,41 @@ def merge_coplanar(
     cos2 = np.cos(np.deg2rad(perp_deg))
 
     # greedy grouping against each group's FIRST member
-    # (VOXEL_MERGE::reorganize, bavoxel.hpp:516-558)
-    group_heads = []          # leaf index of each group head
+    # (VOXEL_MERGE::reorganize, bavoxel.hpp:516-558).  Same greedy
+    # first-match semantics as the reference, but each leaf is tested
+    # against ALL current heads in one vectorized pass (the round-1
+    # Python pair loop was O(G^2) interpreter time and unusable at
+    # 100k+ leaves).
     group_of = np.empty(G, np.int64)
+    head_n = np.empty((G, 3))          # head normals (grow in place)
+    head_c = np.empty((G, 3))
+    n_heads = 0
     for i in range(G):
         c2, d2 = centers[i], normals[i]
-        placed = False
-        for gi, head in enumerate(group_heads):
-            d1 = normals[head]
-            if abs(float(d1 @ d2)) <= cos1:
-                continue
-            c2c = c2 - centers[head]
-            dist = np.linalg.norm(c2c)
-            if dist < dist_thresh:
-                ok = True
-            else:
-                u = c2c / dist
-                ok = abs(float(u @ d1)) < cos2 and abs(float(u @ d2)) < cos2
-            if ok:
-                group_of[i] = gi
-                placed = True
-                break
-        if not placed:
-            group_of[i] = len(group_heads)
-            group_heads.append(i)
+        gi = -1
+        if n_heads:
+            hn = head_n[:n_heads]
+            hc = head_c[:n_heads]
+            cand = np.abs(hn @ d2) > cos1
+            if cand.any():
+                c2c = c2 - hc
+                dist = np.linalg.norm(c2c, axis=1)
+                near = dist < dist_thresh
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    u = c2c / np.maximum(dist, 1e-30)[:, None]
+                perp = (np.abs(np.einsum("hj,hj->h", u, hn)) < cos2) & (
+                    np.abs(u @ d2) < cos2)
+                ok = cand & (near | perp)
+                idx = np.flatnonzero(ok)
+                if len(idx):
+                    gi = int(idx[0])     # FIRST matching head, like the ref
+        if gi < 0:
+            gi = n_heads
+            head_n[n_heads] = d2
+            head_c[n_heads] = c2
+            n_heads += 1
+        group_of[i] = gi
+    group_heads = list(range(n_heads))
 
     n_groups = len(group_heads)
     Cm = np.zeros((n_groups, W, 4, 4), C.dtype)

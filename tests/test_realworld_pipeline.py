@@ -60,3 +60,14 @@ def test_export_honest_curve_and_plane_cloud(tmp_path):
     npz = _np.load(tmp_path / "plane_cloud.npz")
     assert npz["world"].shape[0] == nvert
     assert npz["leaf"].min() >= 0
+
+
+def test_merge_planes_option():
+    from balm_tpu.pipelines import realworld
+
+    cfg = realworld.RealworldConfig(max_scans=12, merge_planes=True)
+    out = realworld.run(cfg)
+    assert out["status"] == "ok"
+    assert 0 < out["merged_planes"] <= out["num_planes"]
+    # merging must not break convergence
+    assert out["residual_final"] < out["residual_initial"]
