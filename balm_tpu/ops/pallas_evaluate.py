@@ -53,9 +53,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .eigh3 import eigh3, eigvals3
 from .packed import PackedFactors, csum_to_cov, pad_poses
 
+import os
+
 LANES = 128
 BG_CSUM = 512   # plane-block for the moment kernel (pure VPU, bigger=fewer programs)
-BG_HESS = 128   # plane-block for the Hessian kernel (VMEM-bound)
+# plane-block for the Hessian kernel (VMEM-bound; 128 or 256 both fit
+# under the raised scoped-vmem limit — tunable for benchmarking)
+BG_HESS = int(os.environ.get("BALM_BG_HESS", "128"))
 
 _DOT_KW = dict(
     dimension_numbers=(((1,), (1,)), ((), ())),

@@ -61,7 +61,9 @@ def _tpu_alive(attempts=int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3")),
 
 
 def main():
-    if not _tpu_alive():
+    if os.environ.get("BENCH_FORCE_TPU", "0") == "1":
+        pass  # trust the caller; init may block until the tunnel frees
+    elif not _tpu_alive():
         # tunnel down: fall back to CPU so the benchmark always reports
         import jax
 
