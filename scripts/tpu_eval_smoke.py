@@ -62,6 +62,11 @@ def main():
             best = min(best, (time.perf_counter() - t0) / n)
         return best
 
+    # per-dispatch floor through the tunnel (subtract from every number)
+    noop = jax.jit(lambda x: x + 1.0)
+    xs = jnp.zeros(())
+    jax.block_until_ready(noop(xs))
+
     t0 = time.perf_counter()
     res1, J1, H1 = jax.block_until_ready(ev_p(R, p))
     print(f"pallas evaluate compile+run: {time.perf_counter()-t0:.1f}s",
@@ -78,8 +83,11 @@ def main():
     hs = float(jnp.max(jnp.abs(H0)))
     print("H maxerr rel:", float(jnp.max(jnp.abs(H0 - H1))) / hs, flush=True)
 
+    tn = timeit(lambda: noop(xs))
+    print(f"dispatch floor (noop): {tn*1e3:.3f} ms", flush=True)
     tp = timeit(lambda: ev_p(R, p))
-    print(f"evaluate pallas: {tp*1e3:.2f} ms", flush=True)
+    print(f"evaluate pallas: {tp*1e3:.2f} ms "
+          f"(minus floor {max(tp-tn,0)*1e3:.2f} ms)", flush=True)
     tx = timeit(lambda: ev_x(R, p))
     print(f"evaluate xla:    {tx*1e3:.2f} ms  (speedup {tx/tp:.2f}x)",
           flush=True)
