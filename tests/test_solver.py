@@ -70,3 +70,30 @@ def test_centered_mode_converges():
     out = virtual.run(cfg, centered=True)
     assert out["rsme_rot_deg"] < 0.1
     assert out["rsme_trans_m"] < 0.01
+
+
+def test_timed_stepper_matches_fused_loop():
+    """damping_iter_timed runs the identical body host-stepped; results
+    must equal the fused while_loop solver exactly, and its timestamps
+    must be real (positive, increasing)."""
+    import numpy as np
+
+    from tests.test_factors import make_problem
+    from balm_tpu.ops import lie as _lie
+    from balm_tpu.solver import lm
+
+    R, p, f, _ = make_problem(G=8, W=4, seed=33)
+    rng = np.random.default_rng(2)
+    dx = jnp.asarray(rng.normal(size=(4, 6)) * 0.01)
+    R0, p0 = _lie.se3_left_update(R, p, dx)
+    cfg = SolverConfig(max_iters=6, rel_tol=0.0, min_planes_per_pose=1)
+    ra = lm.damping_iter(R0, p0, f, cfg)
+    rb, times = lm.damping_iter_timed(R0, p0, f, cfg)
+    assert int(ra.iters) == int(rb.iters)
+    # separately-jitted step vs fused while_loop: same math, different
+    # fusion decisions -> tiny FP divergence accumulates over iterations
+    assert float(jnp.max(jnp.abs(ra.p - rb.p))) < 1e-6
+    assert abs(float(ra.residual) - float(rb.residual)) < 1e-6 * abs(
+        float(ra.residual)) + 1e-9
+    assert len(times) == int(rb.iters)
+    assert np.all(np.diff(times) > 0) and times[0] > 0
