@@ -23,7 +23,7 @@ Recursing step 2 gives O(log W) levels for arbitrarily long trajectories.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import jax

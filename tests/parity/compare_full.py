@@ -17,6 +17,14 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
 
+import jax  # noqa: E402
+
+if __name__ == "__main__":
+    # f64 oracle comparison: CPU, x64 (axon overrides JAX_PLATFORMS and
+    # would drag this onto the tunneled TPU, contending with benches)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp  # noqa: E402
 
 from balm_tpu.config import SolverConfig, VoxelConfig  # noqa: E402
