@@ -10,4 +10,13 @@ multi-chip execution.  Reference capability target: hku-mars/BALM 2.0.
 
 from .config import BalmConfig, FactorConfig, SolverConfig, VoxelConfig
 
-__version__ = "0.1.0"
+
+def optimize_poses(*args, **kwargs):
+    """One-call BA over a pose window — see balm_tpu.api.optimize_poses.
+    (Lazy import keeps `import balm_tpu` free of jax device init.)"""
+    from .api import optimize_poses as _f
+
+    return _f(*args, **kwargs)
+
+
+__version__ = "0.2.0"

@@ -1,0 +1,102 @@
+"""One-call user API: the reference's whole benchmark node as a function.
+
+    import balm_tpu
+    R1, p1, info = balm_tpu.optimize_poses(scans, R0, p0)
+
+covers load->voxelize->(recenter)->solve->gauge (what
+benchmark_realworld.cpp:144-236 does around BALM2::damping_iter), picking
+the right execution path for the hardware and problem size:
+
+  * TPU + moderate W  -> f32 centered factors + the fused Pallas backend
+  * CPU / f64         -> the XLA evaluator (oracle-exact path)
+  * W > large_threshold -> span-compressed matrix-free solver (the dense
+    (6W)^2 system would not be the right tool)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import SolverConfig, VoxelConfig
+from .ops import factors as Fmod
+from .solver import lm
+from .voxel import grid
+
+
+def optimize_poses(
+    scans,
+    R,
+    p,
+    *,
+    voxel: VoxelConfig = VoxelConfig(),
+    solver: SolverConfig = SolverConfig(),
+    backend: str = "auto",          # 'auto' | 'pallas' | 'xla' | 'large'
+    dtype: Optional[str] = None,    # None = f32 on TPU else f64 (needs x64)
+    large_threshold: int = 600,
+    verbose: bool = False,
+):
+    """Bundle-adjust a pose window against self-consistent plane factors.
+
+    scans: list of (Ni, 3) body-frame clouds; R (W,3,3), p (W,3) initial
+    poses.  Returns (R, p, info).
+    """
+    W = len(scans)
+    on_tpu = jax.default_backend() == "tpu"
+    if dtype is None:
+        dtype = "float32" if on_tpu else (
+            "float64" if jax.config.jax_enable_x64 else "float32")
+    if backend == "auto":
+        if W > large_threshold:
+            backend = "large"
+        elif on_tpu and dtype == "float32":
+            backend = "pallas"
+        else:
+            backend = "xla"
+
+    R = np.asarray(R, np.float64)
+    p = np.asarray(p, np.float64)
+    vres = grid.voxelize(list(scans), R, p, voxel, dtype=np.float64)
+    info = {"num_planes": vres.num_planes, "backend": backend,
+            "dtype": dtype}
+    if vres.num_planes == 0:
+        info["status"] = "no_planes"
+        return R, p, info
+
+    use_f32 = dtype == "float32"
+    f = vres.factors
+    if use_f32:
+        f = Fmod.recenter_bodies(f)
+
+    if backend == "large":
+        from .ops import factors_windowed as FW
+        from .solver import large as large_mod
+
+        if use_f32:
+            f = f.astype(jnp.float32)
+        wf = FW.from_dense(Fmod.PlaneFactors(
+            *[jnp.asarray(x) for x in f]))
+        res = large_mod.damping_iter_large(
+            jnp.asarray(R, dtype), jnp.asarray(p, dtype), wf, solver)
+        info.update(status="ok", iters=int(res.iters),
+                    residual=float(res.residual),
+                    span=int(wf.span))
+        return np.asarray(res.R), np.asarray(res.p), info
+
+    if use_f32:
+        f = f.astype(jnp.float32)
+    else:
+        f = Fmod.PlaneFactors(*[jnp.asarray(x) for x in f])
+    res = lm.damping_iter(
+        jnp.asarray(R, dtype), jnp.asarray(p, dtype), f, solver,
+        centered=use_f32, backend=backend if backend == "pallas" else "xla")
+    info.update(
+        status="degenerate" if bool(res.degenerate) else "ok",
+        iters=int(res.iters), residual=float(res.residual),
+        residual_initial=float(res.trace_res1[0]))
+    if verbose:
+        print(lm.format_trace(res))
+    return np.asarray(res.R), np.asarray(res.p), info

@@ -1,0 +1,42 @@
+"""The one-call API must pick a working path on any backend and refine."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import balm_tpu
+from balm_tpu.config import SolverConfig
+from balm_tpu.ops import lie
+from balm_tpu.utils import metrics
+from tests.test_hierarchical import make_long_scene, perturb_drift
+
+
+def test_optimize_poses_auto():
+    R_gt, p_gt, scans = make_long_scene(W=12, seed=41)
+    R0, p0 = perturb_drift(R_gt, p_gt, seed=42)
+    R1, p1, info = balm_tpu.optimize_poses(
+        scans, R0, p0,
+        solver=SolverConfig(max_iters=15, min_planes_per_pose=1))
+    assert info["status"] == "ok"
+    assert info["iters"] > 0
+    Rg, pg = lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
+    rot0, tra0 = metrics.pose_rsme(
+        *lie.gauge_fix(jnp.asarray(R0), jnp.asarray(p0)), Rg, pg)
+    rot1, tra1 = metrics.pose_rsme(
+        *lie.gauge_fix(jnp.asarray(R1), jnp.asarray(p1)), Rg, pg)
+    assert float(tra1) < 0.3 * float(tra0)
+
+
+def test_optimize_poses_large_backend():
+    R_gt, p_gt, scans = make_long_scene(W=12, seed=43)
+    R0, p0 = perturb_drift(R_gt, p_gt, seed=44)
+    R1, p1, info = balm_tpu.optimize_poses(
+        scans, R0, p0, backend="large",
+        solver=SolverConfig(max_iters=15, min_planes_per_pose=0))
+    assert info["status"] == "ok"
+    assert info["backend"] == "large"
+    Rg, pg = lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
+    _, tra0 = metrics.pose_rsme(
+        *lie.gauge_fix(jnp.asarray(R0), jnp.asarray(p0)), Rg, pg)
+    _, tra1 = metrics.pose_rsme(
+        *lie.gauge_fix(jnp.asarray(R1), jnp.asarray(p1)), Rg, pg)
+    assert float(tra1) < 0.5 * float(tra0)
