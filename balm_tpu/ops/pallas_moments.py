@@ -1,4 +1,11 @@
-"""Pallas TPU kernel: fused plane-moment accumulation.
+"""Pallas TPU kernel: fused plane-moment accumulation (LEGACY).
+
+SUPERSEDED by ops/pallas_evaluate.py, which fuses the same accumulation
+(in the numerically superior two-pass centered form) plus the whole
+Hessian assembly over a layout that persists across LM iterations.  Kept
+because factors.residual_only(use_pallas=True) exposes it and its test
+documents the round-1 repacking lesson; new code should use
+pallas_evaluate / lm.damping_iter(backend='pallas').
 
 Computes, per plane g:   Csum[g] = sum_w  T'_gw C_gw T'_gw^T
 with T'_gw = [R_w | t_gw] (rotation shared per scan, translation varying

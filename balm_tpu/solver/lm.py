@@ -94,6 +94,13 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
             raise ValueError("pallas backend requires centered=True, left update")
         if R.dtype != jnp.float32:
             raise ValueError("pallas backend is the float32 fast path")
+        # the kernel holds the (6Wp)^2 Hessian window + rank rows in VMEM;
+        # beyond ~W=230 that exceeds the chip (and the dense benchmark
+        # regime) — fall back to the XLA evaluator transparently.  Larger
+        # windows belong to solver/large.py anyway.
+        Wp8 = -(-R.shape[0] // 8) * 8
+        if 6 * Wp8 > 1440:
+            backend = "xla"
     pallas_interpret = jax.default_backend() != "tpu"
     return _damping_iter_jit(
         R, p, f,

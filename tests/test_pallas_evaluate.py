@@ -126,3 +126,25 @@ def test_lm_backend_pallas_matches_xla():
     assert abs(float(ra.residual) - float(rb.residual)) < 1e-3 * abs(
         float(ra.residual))
     assert float(jnp.max(jnp.abs(ra.p - rb.p))) < 1e-3
+
+
+def test_pallas_backend_falls_back_at_large_w():
+    """Beyond the VMEM budget (W ~ 230+) the pallas backend must fall
+    back to the XLA evaluator transparently rather than fail to compile."""
+    import numpy as np
+    from balm_tpu.config import SolverConfig
+    from balm_tpu.solver import lm
+
+    rng = np.random.default_rng(0)
+    W, G = 248, 4
+    # tiny factor batch with a big window: contents are irrelevant, the
+    # point is that the call works (it would OOM VMEM in kernel form)
+    C = jnp.zeros((128, W, 4, 4)).at[:G, :, 3, 3].set(5.0)
+    C = C.at[:G, :, 0, 0].set(1.0).at[:G, :, 1, 1].set(1.0)
+    f = factors.PlaneFactors.create(C.astype(jnp.float32))
+    R = jnp.tile(jnp.eye(3, dtype=jnp.float32), (W, 1, 1))
+    p = jnp.asarray(rng.normal(size=(W, 3)) * 0.01, jnp.float32)
+    res = lm.damping_iter(R, p, f,
+                          SolverConfig(max_iters=1, min_planes_per_pose=0),
+                          centered=True, backend="pallas")
+    assert np.isfinite(float(res.residual))
