@@ -135,6 +135,22 @@ def csum_to_cov(out, coe):
     return N, Ns, valid, vbar, cov
 
 
+def pad_planes(pk: PackedFactors, multiple: int) -> PackedFactors:
+    """Extend the plane (lane) axis with zeros to a multiple (padding
+    planes carry n = coe = 0 and contribute exactly zero)."""
+    Gp = pk.gp
+    Gt = _round_up(Gp, multiple)
+    if Gt == Gp:
+        return pk
+    ext = Gt - Gp
+    return PackedFactors(
+        mom=jnp.pad(pk.mom, ((0, 0), (0, 0), (0, ext))),
+        cen=jnp.pad(pk.cen, ((0, 0), (0, ext))),
+        coe=jnp.pad(pk.coe, ((0, 0), (0, ext))),
+        cfix=jnp.pad(pk.cfix, ((0, 0), (0, ext))),
+    )
+
+
 def pad_poses(R, p, Wp):
     """(W,3,3),(W,3) -> (Wp, 12) row-major [R | t] pose channels.
 
