@@ -27,7 +27,7 @@ tests/test_large_solver.py asserts sharded == single-device.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,32 @@ import jax.numpy as jnp
 from ..config import SolverConfig
 from ..ops import factors_windowed as FW
 from ..ops import lie
+
+
+class LMOps(NamedTuple):
+    """The solver schedule abstracted over its linear-algebra engine.
+
+    The LM damping loop (accept/reject, u/v schedule, truncated PCG) is
+    identical whether the normal equations live on one device or are
+    pose-partitioned over a mesh; only these six operations differ.  The
+    single-device engine is `_windowed_ops`; the pose-sharded engine
+    (parallel/pose_sharded.py) swaps in halo-exchanging variants and a
+    psum'd dot so the SAME loop body runs as one SPMD program.
+
+    evaluate: (R, p) -> (res, J_flat, diagH_flat, parts)
+    residual: (R, p) -> scalar trial cost
+    matvec:   (parts, diagH_flat, u, v_flat) -> (H + u diag(H)) v, flat
+    precond:  (parts, u) -> (n_local, 6, 6) block-Jacobi blocks
+    dot:      global inner product (psum'd when sharded)
+    update:   (R, p, dx_flat) -> trial poses (left perturbation)
+    """
+
+    evaluate: Callable[..., Any]
+    residual: Callable[..., Any]
+    matvec: Callable[..., Any]
+    precond: Callable[..., Any]
+    dot: Callable[..., Any]
+    update: Callable[..., Any]
 
 
 class LargeLMResult(NamedTuple):
@@ -68,23 +94,27 @@ def _precond_solve(L, r):
     return z.reshape(-1)
 
 
-def _pcg(matvec, b, L, max_iters, tol):
-    """Preconditioned CG for A x = b; returns (x, iterations)."""
+def _pcg(matvec, b, L, max_iters, tol, dot=jnp.vdot):
+    """Preconditioned CG for A x = b; returns (x, iterations).
+
+    All inner products go through `dot` so a pose-sharded caller can make
+    them global (psum) while the iterates stay device-local.
+    """
     x0 = jnp.zeros_like(b)
     r0 = b
     z0 = _precond_solve(L, r0)
     p0 = z0
-    rz0 = jnp.vdot(r0, z0)
-    bnorm = jnp.linalg.norm(b)
+    rz0 = dot(r0, z0)
+    bnorm = jnp.sqrt(dot(b, b))
 
     def cond(carry):
         _, r, _, _, k, ok = carry
-        return ok & (k < max_iters) & (jnp.linalg.norm(r) > tol * bnorm)
+        return ok & (k < max_iters) & (jnp.sqrt(dot(r, r)) > tol * bnorm)
 
     def body(carry):
         x, r, p, rz, k, _ = carry
         Ap = matvec(p)
-        pAp = jnp.vdot(p, Ap)
+        pAp = dot(p, Ap)
         # truncated CG: stop at non-positive curvature and keep the
         # partial step (x may be 0 -> LM rejects and raises u, the same
         # protection the reference's LDLT gets from the damping loop)
@@ -93,7 +123,7 @@ def _pcg(matvec, b, L, max_iters, tol):
         x = x + alpha * p
         r = r - alpha * Ap
         z = _precond_solve(L, r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = dot(r, z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
         p = z + beta * p
         return x, r, p, rz_new, k + 1, posdef
@@ -102,6 +132,32 @@ def _pcg(matvec, b, L, max_iters, tol):
         cond, body, (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32),
                      jnp.asarray(True)))
     return x, k
+
+
+def windowed_ops(wf: FW.WindowedFactors, W: int) -> LMOps:
+    """Single-device (or GSPMD plane-sharded) engine over WindowedFactors."""
+
+    def evaluate(R, p):
+        parts = FW.evaluate_windowed(R, p, wf)
+        diagH = FW.hess_diag(parts, W)
+        return parts.res, parts.J.reshape(-1), diagH.reshape(-1), parts
+
+    def residual(R, p):
+        return FW.residual_only_windowed(R, p, wf)
+
+    def matvec(parts, diagH, u, v):
+        v2 = v.reshape(W, 6)
+        out = FW.hvp(parts, v2, W) + u * diagH.reshape(W, 6) * v2
+        return out.reshape(-1)
+
+    def precond(parts, u):
+        return FW.block_jacobi(parts, W, u)
+
+    def update(R, p, dx):
+        return lie.se3_left_update(R, p, dx.reshape(-1, 6))
+
+    return LMOps(evaluate=evaluate, residual=residual, matvec=matvec,
+                 precond=precond, dot=jnp.vdot, update=update)
 
 
 def damping_iter_large(R, p, wf: FW.WindowedFactors,
@@ -117,9 +173,21 @@ def damping_iter_large(R, p, wf: FW.WindowedFactors,
 @functools.partial(jax.jit, static_argnums=(3, 7, 8, 9, 10))
 def _damping_iter_large_jit(R, p, wf, max_iters, u_init, v_init, rel_tol,
                             abs_tol, gauge_fix, cg_iters, cg_tol):
+    W = R.shape[0]
+    ops = windowed_ops(wf, W)
     with jax.default_matmul_precision("float32"):
-        return _body(R, p, wf, max_iters, u_init, v_init, rel_tol,
-                     abs_tol, gauge_fix, cg_iters, cg_tol)
+        c = lm_loop(ops, R, p, max_iters, u_init, v_init, rel_tol,
+                    abs_tol, cg_iters, cg_tol)
+        Rf, pf = c.R, c.p
+        if gauge_fix:
+            Rf, pf = lie.gauge_fix(Rf, pf)
+        final_res = jax.lax.cond(
+            c.it > 0, lambda: c.res1,
+            lambda: ops.residual(c.R, c.p))
+        return LargeLMResult(
+            R=Rf, p=pf, residual=final_res, iters=c.it,
+            trace_res1=c.t_res1, trace_res2=c.t_res2, trace_u=c.t_u,
+            trace_accept=c.t_acc, trace_cg=c.t_cg)
 
 
 class _Carry(NamedTuple):
@@ -137,24 +205,25 @@ class _Carry(NamedTuple):
     t_cg: jnp.ndarray
 
 
-def _body(R, p, wf, max_iters, u_init, v_init, rel_tol, abs_tol,
-          gauge_fix, cg_iters, cg_tol):
-    W = R.shape[0]
+def lm_loop(ops: LMOps, R, p, max_iters, u_init, v_init, rel_tol, abs_tol,
+            cg_iters, cg_tol) -> "_Carry":
+    """The damping loop over an abstract engine (see LMOps).
+
+    R/p may be device-local pose blocks (pose-sharded caller) — every
+    cross-pose reduction goes through ops.*, and all branch decisions
+    (accept, stop, finiteness) derive from ops.dot / ops.residual
+    scalars, so the control flow is replicated-consistent under SPMD.
+    """
     dtype = R.dtype
     one_three = jnp.asarray(1.0 / 3.0, dtype)
 
     def body(c: _Carry) -> _Carry:
-        parts = FW.evaluate_windowed(c.R, c.p, wf)
-        res1 = parts.res
-        J = parts.J                                   # (W, 6)
-        diagH = FW.hess_diag(parts, W)                # (W, 6)
+        res1, J, diagH, parts = ops.evaluate(c.R, c.p)
 
-        def matvec(v6):
-            v2 = v6.reshape(W, 6)
-            out = FW.hvp(parts, v2, W) + c.u * diagH * v2
-            return out.reshape(-1)
+        def matvec(v):
+            return ops.matvec(parts, diagH, c.u, v)
 
-        Ablk = FW.block_jacobi(parts, W, c.u)
+        Ablk = ops.precond(parts, c.u)
         # guard: if a block is not SPD (far-from-optimum exact Newton),
         # fall back to identity preconditioning for that block
         L = _chol6(Ablk)
@@ -162,12 +231,15 @@ def _body(R, p, wf, max_iters, u_init, v_init, rel_tol, abs_tol,
         eye = jnp.eye(6, dtype=dtype)
         L = jnp.where(bad[:, None, None], eye, L)
 
-        dx, k_cg = _pcg(matvec, -J.reshape(-1), L, cg_iters, cg_tol)
-        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        dx, k_cg = _pcg(matvec, -J, L, cg_iters, cg_tol, dot=ops.dot)
+        # global finiteness: a NaN/Inf anywhere poisons the dot (psum'd
+        # when sharded), so every device zeroes its block together
+        dx = jnp.where(jnp.isfinite(ops.dot(dx, dx)), dx,
+                       jnp.zeros_like(dx))
 
-        Rt, pt = lie.se3_left_update(c.R, c.p, dx.reshape(W, 6))
-        q1 = 0.5 * jnp.dot(dx, (c.u * diagH.reshape(-1)) * dx - J.reshape(-1))
-        res2 = FW.residual_only_windowed(Rt, pt, wf)
+        Rt, pt = ops.update(c.R, c.p, dx)
+        q1 = 0.5 * ops.dot(dx, (c.u * diagH) * dx - J)
+        res2 = ops.residual(Rt, pt)
 
         q = res1 - res2
         # res2 <= 0 is numerically impossible for a sum of PSD-eigenvalue
@@ -216,15 +288,4 @@ def _body(R, p, wf, max_iters, u_init, v_init, rel_tol, abs_tol,
         t_res1=nan, t_res2=nan, t_u=nan, t_acc=nan,
         t_cg=jnp.zeros((max_iters,), jnp.int32),
     )
-    c = jax.lax.while_loop(cond, body, init)
-
-    Rf, pf = c.R, c.p
-    if gauge_fix:
-        Rf, pf = lie.gauge_fix(Rf, pf)
-    final_res = jax.lax.cond(
-        c.it > 0, lambda: c.res1,
-        lambda: FW.residual_only_windowed(c.R, c.p, wf))
-    return LargeLMResult(
-        R=Rf, p=pf, residual=final_res, iters=c.it,
-        trace_res1=c.t_res1, trace_res2=c.t_res2, trace_u=c.t_u,
-        trace_accept=c.t_acc, trace_cg=c.t_cg)
+    return jax.lax.while_loop(cond, body, init)
