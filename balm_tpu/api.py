@@ -7,7 +7,7 @@ covers load->voxelize->(recenter)->solve->gauge (what
 benchmark_realworld.cpp:144-236 does around BALM2::damping_iter), picking
 the right execution path for the hardware and problem size:
 
-  * TPU + moderate W  -> f32 centered factors + the fused Pallas backend
+  * TPU + moderate W  -> f32 centered factors + the packed fast path
   * CPU / f64         -> the XLA evaluator (oracle-exact path)
   * W > large_threshold -> span-compressed matrix-free solver (the dense
     (6W)^2 system would not be the right tool)
@@ -34,7 +34,7 @@ def optimize_poses(
     *,
     voxel: VoxelConfig = VoxelConfig(),
     solver: SolverConfig = SolverConfig(),
-    backend: str = "auto",          # 'auto' | 'pallas' | 'xla' | 'large'
+    backend: str = "auto",   # 'auto' | 'packed' (alias 'pallas') | 'xla' | 'large'
     dtype: Optional[str] = None,    # None = f32 on TPU else f64 (needs x64)
     large_threshold: int = 600,
     verbose: bool = False,
@@ -49,11 +49,13 @@ def optimize_poses(
     if dtype is None:
         dtype = "float32" if on_tpu else (
             "float64" if jax.config.jax_enable_x64 else "float32")
+    if backend == "pallas":
+        backend = "packed"
     if backend == "auto":
         if W > large_threshold:
             backend = "large"
         elif on_tpu and dtype == "float32":
-            backend = "pallas"
+            backend = "packed"
         else:
             backend = "xla"
 
@@ -92,7 +94,7 @@ def optimize_poses(
         f = Fmod.PlaneFactors(*[jnp.asarray(x) for x in f])
     res = lm.damping_iter(
         jnp.asarray(R, dtype), jnp.asarray(p, dtype), f, solver,
-        centered=use_f32, backend=backend if backend == "pallas" else "xla")
+        centered=use_f32, backend=backend if backend == "packed" else "xla")
     info.update(
         status="degenerate" if bool(res.degenerate) else "ok",
         iters=int(res.iters), residual=float(res.residual),

@@ -179,7 +179,13 @@ def _csum_kernel(pose_ref, mom_ref, cen_ref, cfix_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def csum_packed(pose, mom, cen, cfix, *, interpret: bool = False):
     """pose (Wp,12), mom (Wp,10,Gp), cen (3,Gp), cfix (10,Gp) ->
-    channels (10, Gp): [N*cov (6), vsum (3), N]."""
+    channels (10, Gp): [N*cov (6), vsum (3), N].
+
+    Superseded by `csum_packed_xla` in the production paths: profiling on
+    v5e showed this kernel ~24 ms/call (scalar-channel VPU code from the
+    per-channel sliced loads) vs ~0.3 ms for the matmul formulation.
+    Kept as an independent implementation for equality tests.
+    """
     Wp, _, Gp = mom.shape
     assert Gp % BG_CSUM == 0 and Wp % 8 == 0
     return pl.pallas_call(
@@ -199,6 +205,72 @@ def csum_packed(pose, mom, cen, cfix, *, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((10, Gp), jnp.float32),
         interpret=interpret,
     )(pose, mom, cen, cfix)
+
+
+_VECH = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+
+
+def _sym_square_op(R):
+    """(W,3,3) -> (W,6,6) S with vech(R P R^T) = S @ vech(P) in the
+    (xx,xy,xz,yy,yz,zz) channel order: S[c,k] for c=(i,j), k=(k,l) is
+    R_ik R_jl + [k != l] R_il R_jk."""
+    rows = []
+    for (i, j) in _VECH:
+        row = []
+        for (k, l) in _VECH:
+            s = R[:, i, k] * R[:, j, l]
+            if k != l:
+                s = s + R[:, i, l] * R[:, j, k]
+            row.append(s)
+        rows.append(jnp.stack(row, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def csum_packed_xla(pose, mom, cen, cfix):
+    """Matmul formulation of `_csum_kernel` — bit-compatible semantics,
+    pure XLA, ~80x faster on TPU than the Pallas kernel it replaces.
+
+    The rotated-second-moment sum is LINEAR in the vech(P) channels:
+    sum_w R_w P_wg R_w^T = einsum('wck,wkg->cg', S(R_w), P) — one MXU
+    matmul over the (scan x channel) axis.  The centroid chain keeps the
+    exact two-pass centered form (vbar first, then n(t-vbar)(t-vbar)^T;
+    never the cancelling sum(n t t^T) - N vbar vbar^T), so the f32
+    mantissa analysis of factors_windowed._window_moment carries over
+    unchanged.  Padding scans/planes have zero moments -> contribute 0.
+    """
+    Wp, _, Gp = mom.shape
+    R = pose[:, :9].reshape(Wp, 3, 3)
+    tw = pose[:, 9:12]
+    P6 = mom[:, :6, :]                              # (Wp, 6, Gp)
+    b = mom[:, 6:9, :]                              # (Wp, 3, Gp)
+    n = mom[:, 9, :]                                # (Wp, Gp)
+    nf = cfix[9]                                    # (Gp,)
+    bf = cfix[6:9]                                  # (3, Gp)
+
+    # sum_w R P R^T: one (6, 6Wp) x (6Wp, Gp) matmul
+    S = _sym_square_op(R)                           # (Wp, 6, 6)
+    rpr = jnp.einsum("wck,wkg->cg", S, P6)
+
+    # t_wg = R_w b_wg + t_w - c_g, unrolled (3-wide contractions lower
+    # poorly through dot; as elementwise FMAs they fuse into the reduce)
+    t = jnp.stack([
+        R[:, i, 0, None] * b[:, 0] + R[:, i, 1, None] * b[:, 1]
+        + R[:, i, 2, None] * b[:, 2] + tw[:, i, None] - cen[None, i]
+        for i in range(3)], axis=1)                 # (Wp, 3, Gp)
+
+    Nn = jnp.sum(n, axis=0) + nf                    # (Gp,)
+    vsum = jnp.sum(n[:, None, :] * t, axis=0) + nf * bf
+    Ns = jnp.where(Nn > 0.5, Nn, 1.0)
+    vbar = vsum / Ns
+    d = t - vbar[None]                              # (Wp, 3, Gp)
+    nd = n[:, None, :] * d
+    cN = jnp.stack([jnp.sum(nd[:, i] * d[:, j], axis=0)
+                    for (i, j) in _VECH])           # (6, Gp)
+    df = bf - vbar
+    fixq = jnp.where(nf > 0.5, nf, 0.0)
+    fixdd = jnp.stack([fixq * df[i] * df[j] for (i, j) in _VECH])
+    covN = rpr + cN + cfix[:6] + fixdd
+    return jnp.concatenate([covN, vsum, Nn[None]], axis=0)
 
 
 # --------------------------------------------------------------------------
@@ -410,6 +482,156 @@ def hess_packed(pose, mom, cen, aux, *, interpret: bool = False):
 
 
 # --------------------------------------------------------------------------
+# XLA formulation of kernel B over the packed layout
+# --------------------------------------------------------------------------
+
+def _rows_channels_xla(pose, mom, cen, aux):
+    """Per-(w, g) rank-row / gradient / diag-block channels, vectorized.
+
+    Same math as `_hess_kernel`'s scan_tile body, but on whole (Wp, Gp)
+    channel arrays (scan on sublanes, plane on lanes) so XLA fuses the
+    ~100 elementwise steps into a handful of passes.  Profiling showed
+    the Pallas kernel's scalar-channel (8, 128) ops run ~27 ms at
+    realworld scale; this formulation + 3 MXU matmuls runs the same
+    semantics in ~2 ms.  Returns (rows[j][k] (Wp,Gp) scaled, jv[j],
+    Dfull[a][b]).
+    """
+    Wp = mom.shape[0]
+    r = [pose[:, k:k + 1] for k in range(9)]        # (Wp, 1) each
+    tw = [pose[:, 9 + k:10 + k] for k in range(3)]
+    pch = [mom[:, k, :] for k in range(6)]          # (Wp, Gp)
+    b = [mom[:, 6 + k, :] for k in range(3)]
+    n = mom[:, 9, :]
+    c = [cen[k][None, :] for k in range(3)]         # (1, Gp)
+
+    u = [[aux[3 * k + m][None, :] for m in range(3)] for k in range(3)]
+    vb = [aux[9 + m][None, :] for m in range(3)]
+    invN = aux[12][None, :]
+    sqa = aux[13][None, :]
+    sqk = [aux[14][None, :], aux[15][None, :]]
+    coew = aux[16][None, :]
+    u0 = u[0]
+
+    t = [r[3 * i] * b[0] + r[3 * i + 1] * b[1] + r[3 * i + 2] * b[2]
+         + tw[i] - c[i] for i in range(3)]
+    P = _sym3(pch)
+    RPRt = _rprt(r, P)
+    d3 = [t[m] - vb[m] for m in range(3)]
+    nt = [n * t[m] for m in range(3)]
+    X3 = [[RPRt[a][bb] + nt[a] * d3[bb] for bb in range(3)]
+          for a in range(3)]
+    X4 = [n * d3[m] for m in range(3)]
+
+    def x3_dot(v):
+        return [X3[a][0] * v[0] + X3[a][1] * v[1] + X3[a][2] * v[2]
+                for a in range(3)]
+
+    Xu = [x3_dot(u[k]) for k in range(3)]
+    Xu3 = [_dot3(X4, u[k]) for k in range(3)]
+
+    a_rot = _cross(nt, u0)
+    a_tr = [n * u0[m] for m in range(3)]
+
+    jrot = [2.0 * invN * v for v in _cross(Xu[0], u0)]
+    jtr = [2.0 * invN * u0[m] * Xu3[0] for m in range(3)]
+
+    g_rot, g_tr = [], []
+    for k in (1, 2):
+        g1r = _cross(Xu[0], u[k])
+        g2r = _cross(Xu[k], u0)
+        g_rot.append([invN * (g1r[m] + g2r[m]) for m in range(3)])
+        g_tr.append([invN * (u[k][m] * Xu3[0] + u0[m] * Xu3[k])
+                     for m in range(3)])
+
+    # block-diagonal correction (see _hess_kernel for the derivation)
+    Y = [[X3[a][bb] + nt[a] * vb[bb] for bb in range(3)] for a in range(3)]
+    B1c = [[-v for v in _cross(u0, [Y[0][j], Y[1][j], Y[2][j]])]
+           for j in range(3)]
+    B1r = [[B1c[j][a] for j in range(3)] for a in range(3)]
+    TL = [[-v for v in _cross(u0, B1r[a])] for a in range(3)]
+    y = Xu[0]
+    ydu = _dot3(y, u0)
+    two_invN = 2.0 * invN
+    Dtl = [[invN * (u0[a] * y[bb] + y[a] * u0[bb]) + two_invN * TL[a][bb]
+            for bb in range(3)] for a in range(3)]
+    for a in range(3):
+        Dtl[a][a] = Dtl[a][a] - two_invN * ydu
+    Dtr = [[two_invN * a_rot[a] * u0[bb] for bb in range(3)]
+           for a in range(3)]
+    Dbr = [[two_invN * n * u0[a] * u0[bb] for bb in range(3)]
+           for a in range(3)]
+    Dbl = [[Dtr[bb][a] for bb in range(3)] for a in range(3)]
+
+    def adj_vec(rot, tr):
+        cx = _cross(c, tr)
+        return [rot[m] + cx[m] for m in range(3)], tr
+
+    a_rot, a_tr = adj_vec(a_rot, a_tr)
+    jrot, jtr = adj_vec(jrot, jtr)
+    for k in range(2):
+        g_rot[k], g_tr[k] = adj_vec(g_rot[k], g_tr[k])
+
+    def rows_pluscross(Mr, Nr):
+        return [[Mr[a][bb] + _cross(c, Nr[a])[bb] for bb in range(3)]
+                for a in range(3)]
+
+    def cols_pluscross(Mc, Nc):
+        out = [[None] * 3 for _ in range(3)]
+        for bb in range(3):
+            colN = [Nc[0][bb], Nc[1][bb], Nc[2][bb]]
+            cx = _cross(c, colN)
+            for a in range(3):
+                out[a][bb] = Mc[a][bb] + cx[a]
+        return out
+
+    A2 = rows_pluscross(Dtl, Dtr)
+    C2 = rows_pluscross(Dbl, Dbr)
+    Dtl = cols_pluscross(A2, C2)
+    Dtr = cols_pluscross(Dtr, Dbr)
+    Dbl = C2
+    gdc = _dot3(jtr, c)
+    for a in range(3):
+        for bb in range(3):
+            Dtl[a][bb] = Dtl[a][bb] + 0.5 * (jtr[a] * c[bb] + c[a] * jtr[bb])
+        Dtl[a][a] = Dtl[a][a] - gdc
+
+    av = a_rot + a_tr
+    jv = [jrot[m] for m in range(3)] + [jtr[m] for m in range(3)]
+    g1v = g_rot[0] + g_tr[0]
+    g2v = g_rot[1] + g_tr[1]
+    rows = [[sqa * av[j], sqk[0] * g1v[j], sqk[1] * g2v[j]]
+            for j in range(6)]
+    jv = [coew * jv[j] for j in range(6)]
+    Dfull = [[Dtl, Dtr], [Dbl, Dbr]]
+    D = [[coew * Dfull[a // 3][bb // 3][a % 3][bb % 3] for bb in range(6)]
+         for a in range(6)]
+    return rows, jv, D
+
+
+def hess_packed_xla(pose, mom, cen, aux):
+    """XLA equivalent of `hess_packed`: -> (Htilde (6Wp, 6Wp) in
+    (w, j)-major order, J (Wp, 6), D (Wp, 36)).
+
+    NOTE the layout difference from the Pallas kernel: Htilde comes back
+    (w, j)-major (ready to use, no post-transpose) because the matmul
+    operands are assembled that way for free here.
+    """
+    Wp, _, Gp = mom.shape
+    rows, jv, D = _rows_channels_xla(pose, mom, cen, aux)
+    # three (6Wp, Gp) operands (one per rank row), (w, j)-major
+    H = None
+    for k in range(3):
+        Mk = jnp.stack([rows[j][k] for j in range(6)],
+                       axis=1).reshape(6 * Wp, Gp)
+        Hk = lax.dot_general(Mk, Mk, **_DOT_KW)
+        H = Hk if H is None else H + Hk
+    J = jnp.stack([jnp.sum(jv[j], axis=1) for j in range(6)], axis=1)
+    Dm = jnp.stack([jnp.sum(D[a][bb], axis=1)
+                    for a in range(6) for bb in range(6)], axis=1)
+    return H, J, Dm
+
+
+# --------------------------------------------------------------------------
 # Glue: full evaluate / residual with semantics of factors.evaluate
 # --------------------------------------------------------------------------
 
@@ -437,26 +659,34 @@ def _aux_from_csum(csum, pk: PackedFactors, gap_eps):
 
 
 def evaluate_packed(R, p, pk: PackedFactors, *, gap_eps: float = 1e-9,
-                    interpret: bool = False):
+                    interpret: bool = False, impl: str = "xla"):
     """Residual, gradient (6W,), Newton Hessian (6W,6W) — fused TPU path.
 
     Drop-in equal to factors.evaluate(pose_matrix(R,p), f, centered=True)
     for body-recentered factors (tests/test_pallas_evaluate.py asserts
     equality and the jax.hessian oracle).
+
+    impl: 'xla' (production — the packed-channel formulation, ~13x the
+    Pallas kernel's throughput at realworld scale) or 'pallas' (the
+    original fused kernel, kept as an independent implementation).
     """
     W = R.shape[0]
     Wp = pk.wp
     pose = pad_poses(R, p, Wp).astype(jnp.float32)
     with jax.default_matmul_precision("float32"):
-        csum = csum_packed(pose, pk.mom, pk.cen, pk.cfix,
-                           interpret=interpret)
+        csum = csum_packed_xla(pose, pk.mom, pk.cen, pk.cfix)
         res, aux = _aux_from_csum(csum, pk, gap_eps)
-        Ht, Jt, Dt = hess_packed(pose, pk.mom, pk.cen, aux,
-                                 interpret=interpret)
-        # (j,w)-major -> (w,j)-major, crop padding, negate rank part
-        H = -Ht.reshape(6, Wp, 6, Wp).transpose(1, 0, 3, 2)[:W, :, :W, :]
-        D = Dt[:W, :36].reshape(W, 6, 6)
         iw = jnp.arange(W)
+        if impl == "xla":
+            Ht, Jt, Dt = hess_packed_xla(pose, pk.mom, pk.cen, aux)
+            # already (w,j)-major; crop padding, negate rank part
+            H = -Ht.reshape(Wp, 6, Wp, 6)[:W, :, :W, :]
+        else:
+            Ht, Jt, Dt = hess_packed(pose, pk.mom, pk.cen, aux,
+                                     interpret=interpret)
+            # (j,w)-major -> (w,j)-major, crop padding, negate rank part
+            H = -Ht.reshape(6, Wp, 6, Wp).transpose(1, 0, 3, 2)[:W, :, :W, :]
+        D = Dt[:W, :36].reshape(W, 6, 6)
         H = H.at[iw, :, iw, :].add(D).reshape(6 * W, 6 * W)
         J = Jt[:W, :6].reshape(6 * W)
     return res, J, H
@@ -467,8 +697,7 @@ def residual_only_packed(R, p, pk: PackedFactors, *, interpret: bool = False):
     W = R.shape[0]
     pose = pad_poses(R, p, pk.wp).astype(jnp.float32)
     with jax.default_matmul_precision("float32"):
-        csum = csum_packed(pose, pk.mom, pk.cen, pk.cfix,
-                           interpret=interpret)
+        csum = csum_packed_xla(pose, pk.mom, pk.cen, pk.cfix)
         N, Ns, valid, vbar, cov = csum_to_cov(csum, pk.coe)
         lam = eigvals3(cov)
         coew = jnp.where(valid, pk.coe[0], 0.0)

@@ -69,18 +69,24 @@ class _Carry(NamedTuple):
 def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
                  *, centered: bool = False, use_lapack_eigh: bool = False,
                  update: str = "left", linear_solver: str = "cholesky",
-                 backend: str = "xla", edges=None):
+                 backend: str = "xla", edges=None,
+                 pcg_iters: int = 0, pcg_tol: float = 1e-6):
     """Run the LM loop. R (W,3,3), p (W,3), f: PlaneFactors.
 
     update: 'left' (production, bavoxel.hpp:1122-1125) or 'right'
     (the reference's alternative form, bavoxel.hpp:1108, 1118-1120;
     requires raw body moments and centered=False).
-    linear_solver: 'cholesky' (fast TPU path) or 'lu' (handles indefinite
-    H + uD without relying on LM rejection; reference uses LDLT).
-    backend: 'xla' (ops/factors.py) or 'pallas' (the fused TPU kernels of
-    ops/pallas_evaluate.py; requires centered=True, left update, float32,
-    body-recentered factors).  On non-TPU backends 'pallas' runs in
-    interpreter mode (tests); the compiled path needs TPU hardware.
+    linear_solver: 'cholesky' (direct; LU fallback when indefinite),
+    'lu' (handles indefinite H + uD without relying on LM rejection;
+    reference uses LDLT), or 'pcg' (block-Jacobi CG on the damped dense
+    system — bypasses XLA's slow TPU triangular kernels; pcg_iters 0
+    means min(6W, 400), pcg_tol is the relative residual stop).
+    backend: 'xla' (ops/factors.py einsum evaluator) or 'packed' (alias
+    'pallas': the packed lane-major fast path of ops/pallas_evaluate.py —
+    channel-formulated moment/row assembly + MXU matmuls; requires
+    centered=True, left update, float32, body-recentered factors).  The
+    packed path has no window-size limit (its Hessian is an HBM matmul);
+    it is the TPU production path at every dense-solver scale.
     edges: optional ops.pose_graph.RelPoseEdges — SE(3) relative-pose
     factors added to the plane cost (the hierarchical pipeline's
     inter-block constraints); requires update='left'.
@@ -89,32 +95,30 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
         raise ValueError("right update requires centered=False")
     if edges is not None and update != "left":
         raise ValueError("pose-graph edges require the left update")
-    if backend == "pallas":
+    if backend in ("pallas", "packed"):
+        backend = "pallas"
         if not centered or update != "left":
-            raise ValueError("pallas backend requires centered=True, left update")
+            raise ValueError(
+                "packed backend requires centered=True, left update")
         if R.dtype != jnp.float32:
-            raise ValueError("pallas backend is the float32 fast path")
-        # the kernel holds the (6Wp)^2 Hessian window + rank rows in VMEM;
-        # beyond ~W=230 that exceeds the chip (and the dense benchmark
-        # regime) — fall back to the XLA evaluator transparently.  Larger
-        # windows belong to solver/large.py anyway.
-        Wp8 = -(-R.shape[0] // 8) * 8
-        if 6 * Wp8 > 1440:
-            backend = "xla"
+            raise ValueError("packed backend is the float32 fast path")
     pallas_interpret = jax.default_backend() != "tpu"
     return _damping_iter_jit(
         R, p, f,
         cfg.max_iters, cfg.u_init, cfg.v_init, cfg.rel_tol, cfg.abs_tol,
         cfg.min_planes_per_pose, cfg.gauge_fix, centered, use_lapack_eigh,
         update, linear_solver, backend, pallas_interpret, edges,
+        pcg_iters, pcg_tol,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(3, 7, 9, 10, 11, 12, 13, 14, 15))
+@functools.partial(jax.jit,
+                   static_argnums=(3, 7, 9, 10, 11, 12, 13, 14, 15, 17, 18))
 def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                       min_planes, gauge_fix, centered, use_lapack_eigh,
                       update, linear_solver, backend="xla",
-                      pallas_interpret=False, edges=None):
+                      pallas_interpret=False, edges=None,
+                      pcg_iters=0, pcg_tol=1e-6):
     # full f32 matmul precision for EVERYTHING in the loop: on TPU the
     # default runs matmuls (pose composition, triangular solves) in bf16,
     # which silently degrades steps and stalls convergence ~0.1% above
@@ -123,13 +127,20 @@ def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
         return _damping_iter_body(
             R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
             min_planes, gauge_fix, centered, use_lapack_eigh,
-            update, linear_solver, backend, pallas_interpret, edges)
+            update, linear_solver, backend, pallas_interpret, edges,
+            pcg_iters, pcg_tol)
+
+
+def _blocks6(A, W):
+    """(6W, 6W) -> (W, 6, 6) diagonal blocks."""
+    iw = jnp.arange(W)
+    return A.reshape(W, 6, W, 6)[iw, :, iw, :]
 
 
 def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                 min_planes, centered, use_lapack_eigh, update,
                 linear_solver, backend="xla", pallas_interpret=False,
-                edges=None):
+                edges=None, pcg_iters=0, pcg_tol=1e-6):
     """Construct (cond, body, init, degenerate, eval_res) for the LM loop
     — shared by the fused while_loop solver and the host-stepped timed
     variant (honest per-iteration wall-clock for convergence curves)."""
@@ -202,6 +213,31 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                 lambda: dx_c,
                 lambda: jnp.linalg.solve(A, -J),
             )
+        elif linear_solver == "pcg":
+            # XLA's dense factorizations run the (6W)^2 solve at ~15
+            # GFLOP/s on TPU (blocked triangular code, ~24 ms at W=177 —
+            # as slow as the whole Hessian build).  Block-Jacobi PCG
+            # replaces it with bandwidth-bound matvecs (H is only ~4.5 MB)
+            # and the small-block machinery of solver/large.py; the damped
+            # system is SPD whenever LM is making progress, and an
+            # unconverged/indefinite step is just a rejected LM iteration
+            # (u grows, same protection as the Cholesky fallback).
+            from . import large as _large
+
+            Ablk = _blocks6(A, W)
+            eye = jnp.eye(6, dtype=A.dtype)
+            Lb = _large._chol6(Ablk)
+            bad = ~jnp.all(jnp.isfinite(Lb), axis=(-2, -1))
+            Minv = _large._inv6(
+                jnp.where(bad[:, None, None], eye, Ablk))
+            Minv = jnp.where(
+                jnp.all(jnp.isfinite(Minv), axis=(-2, -1))[:, None, None],
+                Minv, eye)
+            dx_c, _ = _large._pcg(lambda v: A @ v, -J, Minv,
+                                  pcg_iters if pcg_iters > 0
+                                  else min(6 * W, 400), pcg_tol)
+            dx = jnp.where(jnp.all(jnp.isfinite(dx_c)), dx_c,
+                           jnp.zeros_like(dx_c))
         else:
             dx = jnp.linalg.solve(A, -J)
 
@@ -283,11 +319,12 @@ def _finish(c: _Carry, degenerate, eval_res, gauge_fix):
 def _damping_iter_body(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                        min_planes, gauge_fix, centered, use_lapack_eigh,
                        update, linear_solver, backend="xla",
-                       pallas_interpret=False, edges=None):
+                       pallas_interpret=False, edges=None,
+                       pcg_iters=0, pcg_tol=1e-6):
     cond, body, init, degenerate, eval_res = _build_loop(
         R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol, min_planes,
         centered, use_lapack_eigh, update, linear_solver, backend,
-        pallas_interpret, edges)
+        pallas_interpret, edges, pcg_iters, pcg_tol)
     c = jax.lax.while_loop(cond, body, init)
     return _finish(c, degenerate, eval_res, gauge_fix)
 

@@ -108,6 +108,19 @@ def test_csum_matches_plane_moment():
         float(jnp.max(jnp.abs(vbar))) + 1e-12)
 
 
+def test_csum_xla_matches_pallas_kernel():
+    """The matmul formulation (production) vs the Pallas kernel
+    (independent implementation) — same channels to f32 roundoff."""
+    R32, p32, f32, packed, fr, R, p = _packed_problem(
+        seed=21, sparse_obs=True, with_fix=True)
+    pose = pk.pad_poses(R32, p32, packed.wp).astype(jnp.float32)
+    a = pe.csum_packed(pose, packed.mom, packed.cen, packed.cfix,
+                       interpret=True)
+    b = pe.csum_packed_xla(pose, packed.mom, packed.cen, packed.cfix)
+    scale = float(jnp.max(jnp.abs(a))) + 1e-12
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-5 * scale
+
+
 def test_lm_backend_pallas_matches_xla():
     from balm_tpu.config import SolverConfig
     from balm_tpu.solver import lm
@@ -128,17 +141,16 @@ def test_lm_backend_pallas_matches_xla():
     assert float(jnp.max(jnp.abs(ra.p - rb.p))) < 1e-3
 
 
-def test_pallas_backend_falls_back_at_large_w():
-    """Beyond the VMEM budget (W ~ 230+) the pallas backend must fall
-    back to the XLA evaluator transparently rather than fail to compile."""
+def test_packed_backend_at_large_w():
+    """The packed backend has no window-size limit (its Hessian is an
+    HBM matmul, unlike the superseded all-VMEM Pallas kernel which OOMed
+    past W ~ 230) — a W = 248 solve must just work."""
     import numpy as np
     from balm_tpu.config import SolverConfig
     from balm_tpu.solver import lm
 
     rng = np.random.default_rng(0)
     W, G = 248, 4
-    # tiny factor batch with a big window: contents are irrelevant, the
-    # point is that the call works (it would OOM VMEM in kernel form)
     C = jnp.zeros((128, W, 4, 4)).at[:G, :, 3, 3].set(5.0)
     C = C.at[:G, :, 0, 0].set(1.0).at[:G, :, 1, 1].set(1.0)
     f = factors.PlaneFactors.create(C.astype(jnp.float32))
@@ -146,5 +158,5 @@ def test_pallas_backend_falls_back_at_large_w():
     p = jnp.asarray(rng.normal(size=(W, 3)) * 0.01, jnp.float32)
     res = lm.damping_iter(R, p, f,
                           SolverConfig(max_iters=1, min_planes_per_pose=0),
-                          centered=True, backend="pallas")
+                          centered=True, backend="packed")
     assert np.isfinite(float(res.residual))
