@@ -101,14 +101,34 @@ def main():
         return lm.damping_iter(
             R, p, f, solver_cfg, centered=True, backend=backend)
 
-    # warm up / compile
+    # warm up / compile.  CRITICAL: no device->host transfer may happen
+    # between here and the end of the timed runs — through the axon
+    # tunnel a single scalar fetch degrades EVERY subsequent dispatch in
+    # the process ~16x (measured 51 ms -> 800 ms for this very loop,
+    # artifacts/transfer_poisoning.md).  All result fetches (asserts,
+    # trace reads, the floor probe) happen after timing.
     res = run()
     res.R.block_until_ready()
-    assert float(res.trace_res1[0]) > 0, "residual must be positive"
 
-    # per-dispatch floor (the tunneled TPU adds ~0.3-0.5 s per dispatch;
-    # co-located hardware would not) — recorded so the MFU figure can be
-    # read net of transport overhead
+    # contention variance on the shared tunnel: several spaced batches,
+    # global best = least-contended = hardware capability
+    batches = int(os.environ.get("BENCH_BATCHES", "3"))
+    times = []
+    for b in range(batches):
+        for k in range(8):
+            t0 = time.perf_counter()
+            res = run()
+            res.R.block_until_ready()
+            times.append(time.perf_counter() - t0)
+        if b + 1 < batches:
+            if min(times[-8:]) < 0.1:
+                break  # quiet window already captured
+            time.sleep(float(os.environ.get("BENCH_BATCH_SLEEP", "45")))
+    dt = min(times)
+
+    # per-dispatch floor (the tunneled TPU adds dispatch overhead that
+    # co-located hardware would not) — measured AFTER the timed runs so
+    # its own fetches cannot poison them
     noop = jax.jit(lambda x: x + 1.0)
     z = jnp.zeros(())
     noop(z).block_until_ready()
@@ -118,17 +138,7 @@ def main():
     o.block_until_ready()
     dispatch_floor = (time.perf_counter() - t0) / 3
 
-    # the tunneled TPU shows heavy contention variance; take the best of
-    # several spaced repeats (best = least-contended = hardware capability)
-    times = []
-    for k in range(8):
-        t0 = time.perf_counter()
-        res = run()
-        res.R.block_until_ready()
-        times.append(time.perf_counter() - t0)
-        if k == 3:
-            time.sleep(2.0)
-    dt = min(times)
+    assert float(res.trace_res1[0]) > 0, "residual must be positive"
     iters = max(int(res.iters), 1)
     ips = iters / dt
 
