@@ -608,22 +608,30 @@ def _rows_channels_xla(pose, mom, cen, aux):
     return rows, jv, D
 
 
-def hess_packed_xla(pose, mom, cen, aux):
+def hess_packed_xla(pose, mom, cen, aux, *, hess_precision=None):
     """XLA equivalent of `hess_packed`: -> (Htilde (6Wp, 6Wp) in
     (w, j)-major order, J (Wp, 6), D (Wp, 36)).
 
     NOTE the layout difference from the Pallas kernel: Htilde comes back
     (w, j)-major (ready to use, no post-transpose) because the matmul
     operands are assembled that way for free here.
+
+    hess_precision: lax.Precision for the rank-row matmul only (None =
+    HIGHEST, the 6-pass exact-f32 form).  HIGH (3-pass bf16x3) halves
+    the matmul passes at ~1.5e-5 relative H error — H only steers the
+    Newton step (J stays exact-f32 channel sums), so LM convergence is
+    unchanged; see tests/test_pallas_evaluate.py.
     """
     Wp, _, Gp = mom.shape
     rows, jv, D = _rows_channels_xla(pose, mom, cen, aux)
+    kw = (_DOT_KW if hess_precision is None
+          else {**_DOT_KW, "precision": hess_precision})
     # three (6Wp, Gp) operands (one per rank row), (w, j)-major
     H = None
     for k in range(3):
         Mk = jnp.stack([rows[j][k] for j in range(6)],
                        axis=1).reshape(6 * Wp, Gp)
-        Hk = lax.dot_general(Mk, Mk, **_DOT_KW)
+        Hk = lax.dot_general(Mk, Mk, **kw)
         H = Hk if H is None else H + Hk
     J = jnp.stack([jnp.sum(jv[j], axis=1) for j in range(6)], axis=1)
     Dm = jnp.stack([jnp.sum(D[a][bb], axis=1)
@@ -659,7 +667,8 @@ def _aux_from_csum(csum, pk: PackedFactors, gap_eps):
 
 
 def evaluate_packed(R, p, pk: PackedFactors, *, gap_eps: float = 1e-9,
-                    interpret: bool = False, impl: str = "xla"):
+                    interpret: bool = False, impl: str = "xla",
+                    hess_precision=None):
     """Residual, gradient (6W,), Newton Hessian (6W,6W) — fused TPU path.
 
     Drop-in equal to factors.evaluate(pose_matrix(R,p), f, centered=True)
@@ -669,6 +678,7 @@ def evaluate_packed(R, p, pk: PackedFactors, *, gap_eps: float = 1e-9,
     impl: 'xla' (production — the packed-channel formulation, ~13x the
     Pallas kernel's throughput at realworld scale) or 'pallas' (the
     original fused kernel, kept as an independent implementation).
+    hess_precision: see hess_packed_xla (xla impl only).
     """
     W = R.shape[0]
     Wp = pk.wp
@@ -678,7 +688,8 @@ def evaluate_packed(R, p, pk: PackedFactors, *, gap_eps: float = 1e-9,
         res, aux = _aux_from_csum(csum, pk, gap_eps)
         iw = jnp.arange(W)
         if impl == "xla":
-            Ht, Jt, Dt = hess_packed_xla(pose, pk.mom, pk.cen, aux)
+            Ht, Jt, Dt = hess_packed_xla(pose, pk.mom, pk.cen, aux,
+                                         hess_precision=hess_precision)
             # already (w,j)-major; crop padding, negate rank part
             H = -Ht.reshape(Wp, 6, Wp, 6)[:W, :, :W, :]
         else:

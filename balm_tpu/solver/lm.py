@@ -70,7 +70,8 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
                  *, centered: bool = False, use_lapack_eigh: bool = False,
                  update: str = "left", linear_solver: str = "cholesky",
                  backend: str = "xla", edges=None,
-                 pcg_iters: int = 0, pcg_tol: float = 1e-6):
+                 pcg_iters: int = 0, pcg_tol: float = 1e-6,
+                 hess_precision: str = "high"):
     """Run the LM loop. R (W,3,3), p (W,3), f: PlaneFactors.
 
     update: 'left' (production, bavoxel.hpp:1122-1125) or 'right'
@@ -90,6 +91,11 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
     edges: optional ops.pose_graph.RelPoseEdges — SE(3) relative-pose
     factors added to the plane cost (the hierarchical pipeline's
     inter-block constraints); requires update='left'.
+    hess_precision (packed backend only): matmul precision for the
+    Hessian rank-row product — 'high' (3-pass bf16x3, default: H relerr
+    ~2e-6 vs exact-f32, measured convergence-identical), 'highest'
+    (6-pass exact f32), or 'bf16' (1-pass, ~1e-4 relerr).  J and the
+    residual always use exact-f32 channel sums.
     """
     if update == "right" and centered:
         raise ValueError("right update requires centered=False")
@@ -108,17 +114,17 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
         cfg.max_iters, cfg.u_init, cfg.v_init, cfg.rel_tol, cfg.abs_tol,
         cfg.min_planes_per_pose, cfg.gauge_fix, centered, use_lapack_eigh,
         update, linear_solver, backend, pallas_interpret, edges,
-        pcg_iters, pcg_tol,
+        pcg_iters, pcg_tol, hess_precision,
     )
 
 
-@functools.partial(jax.jit,
-                   static_argnums=(3, 7, 9, 10, 11, 12, 13, 14, 15, 17, 18))
+@functools.partial(
+    jax.jit, static_argnums=(3, 7, 9, 10, 11, 12, 13, 14, 15, 17, 18, 19))
 def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                       min_planes, gauge_fix, centered, use_lapack_eigh,
                       update, linear_solver, backend="xla",
                       pallas_interpret=False, edges=None,
-                      pcg_iters=0, pcg_tol=1e-6):
+                      pcg_iters=0, pcg_tol=1e-6, hess_precision="high"):
     # full f32 matmul precision for EVERYTHING in the loop: on TPU the
     # default runs matmuls (pose composition, triangular solves) in bf16,
     # which silently degrades steps and stalls convergence ~0.1% above
@@ -128,7 +134,7 @@ def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
             R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
             min_planes, gauge_fix, centered, use_lapack_eigh,
             update, linear_solver, backend, pallas_interpret, edges,
-            pcg_iters, pcg_tol)
+            pcg_iters, pcg_tol, hess_precision)
 
 
 def _blocks6(A, W):
@@ -140,7 +146,8 @@ def _blocks6(A, W):
 def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                 min_planes, centered, use_lapack_eigh, update,
                 linear_solver, backend="xla", pallas_interpret=False,
-                edges=None, pcg_iters=0, pcg_tol=1e-6):
+                edges=None, pcg_iters=0, pcg_tol=1e-6,
+                hess_precision="high"):
     """Construct (cond, body, init, degenerate, eval_res) for the LM loop
     — shared by the fused while_loop solver and the host-stepped timed
     variant (honest per-iteration wall-clock for convergence curves)."""
@@ -155,9 +162,12 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
         from ..ops import pallas_evaluate as pe
 
         pkf = packed_mod.pack_factors(f)  # once per solve, reused every iter
+        hp = {"highest": None, "high": jax.lax.Precision.HIGH,
+              "bf16": jax.lax.Precision.DEFAULT}[hess_precision]
 
         def eval_full_planes(R, p):
-            return pe.evaluate_packed(R, p, pkf, interpret=pallas_interpret)
+            return pe.evaluate_packed(R, p, pkf, interpret=pallas_interpret,
+                                      hess_precision=hp)
 
         def eval_res_planes(R, p):
             return pe.residual_only_packed(
@@ -320,11 +330,11 @@ def _damping_iter_body(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                        min_planes, gauge_fix, centered, use_lapack_eigh,
                        update, linear_solver, backend="xla",
                        pallas_interpret=False, edges=None,
-                       pcg_iters=0, pcg_tol=1e-6):
+                       pcg_iters=0, pcg_tol=1e-6, hess_precision="high"):
     cond, body, init, degenerate, eval_res = _build_loop(
         R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol, min_planes,
         centered, use_lapack_eigh, update, linear_solver, backend,
-        pallas_interpret, edges, pcg_iters, pcg_tol)
+        pallas_interpret, edges, pcg_iters, pcg_tol, hess_precision)
     c = jax.lax.while_loop(cond, body, init)
     return _finish(c, degenerate, eval_res, gauge_fix)
 

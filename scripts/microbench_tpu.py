@@ -77,13 +77,18 @@ if __name__ == "__main__":
         # each trip depends on the last (defeats CSE) but computes the
         # same-shaped problem
         def chain_eval(evalfn):
+            # consume EVERY output (res, J, H) in the carry dependency —
+            # summing only the residual lets XLA dead-code-eliminate the
+            # whole Hessian matmul and report absurd times (0.14 ms for
+            # a 3.7e10-FLOP evaluation)
             def make(K):
                 @jax.jit
                 def run(R, p):
                     def body(_, c):
                         Rc, pc, s = c
                         o = evalfn(Rc, pc)
-                        s2 = (o[0] if isinstance(o, tuple) else o)
+                        leaves = (o if isinstance(o, tuple) else (o,))
+                        s2 = sum(jnp.sum(x) for x in leaves)
                         return (Rc, pc + 1e-30 * s2, s2)
                     return lax.fori_loop(
                         0, K, body, (R, p, jnp.zeros((), R.dtype)))[2]
