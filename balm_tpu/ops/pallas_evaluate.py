@@ -482,6 +482,113 @@ def hess_packed(pose, mom, cen, aux, *, interpret: bool = False):
 
 
 # --------------------------------------------------------------------------
+# Kernel B v2: full-array channels + in-VMEM rows + accumulated MXU dot
+# --------------------------------------------------------------------------
+
+BG_HESS2 = int(os.environ.get("BALM_BG_HESS2", "512"))
+
+
+def _hess_kernel_v2(pose_ref, mom_ref, cen_ref, aux_ref, h_ref, j_ref, d_ref,
+                    rows_ref, *, split: str):
+    """Fused rank-row assembly + Hessian dot, one plane tile per step.
+
+    v1 (`_hess_kernel`) looped 8-scan tiles and sliced every channel into
+    (8, BG) ops — ~150 tiny VPU ops x Wp/8 trips made it slower than the
+    XLA formulation.  v2 loads whole (Wp, BG) blocks and reuses the SAME
+    channel code as the XLA path (`_rows_channels_xla`), so the per-tile
+    body is a few hundred full-height VPU ops; rows never leave VMEM and
+    the (6Wp, 3BG) x (3BG, 6Wp) dot accumulates across the plane grid.
+
+    split: 'f32' (exact-f32 6-pass dot) or 'bf16x3' (hi/lo bf16 split,
+    3 single-pass dots — the same error model as lax HIGH precision).
+    """
+    i = pl.program_id(0)
+    Wp = mom_ref.shape[0]
+    BG = mom_ref.shape[2]
+
+    rows, jv, D = _rows_channels_xla(
+        pose_ref[...], mom_ref[...], cen_ref[...], aux_ref[...])
+    for j in range(6):
+        for k in range(3):
+            rows_ref[pl.ds(j * Wp, Wp), k * BG:(k + 1) * BG] = rows[j][k]
+
+    jsum = jnp.concatenate(
+        [jnp.sum(jv[j], axis=1, keepdims=True) for j in range(6)], axis=1)
+    dsum = jnp.concatenate(
+        [jnp.sum(D[a][b], axis=1, keepdims=True)
+         for a in range(6) for b in range(6)], axis=1)
+
+    M = rows_ref[...]
+    if split == "bf16x3":
+        hi = M.astype(jnp.bfloat16)
+        lo = (M - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # precision must be DEFAULT explicitly: the callers wrap the loop
+        # in default_matmul_precision('float32'), and Mosaic rejects an
+        # f32-precision matmul over bf16 operands
+        kw = dict(dimension_numbers=(((1,), (1,)), ((), ())),
+                  preferred_element_type=jnp.float32,
+                  precision=lax.Precision.DEFAULT)
+        h = (lax.dot_general(hi, hi, **kw)
+             + lax.dot_general(hi, lo, **kw)
+             + lax.dot_general(lo, hi, **kw))
+    else:
+        h = lax.dot_general(M, M, **_DOT_KW)
+
+    @pl.when(i == 0)
+    def _():
+        h_ref[...] = h
+        j_ref[...] = jnp.zeros_like(j_ref)
+        d_ref[...] = jnp.zeros_like(d_ref)
+
+    @pl.when(i > 0)
+    def _():
+        h_ref[...] += h
+
+    j_ref[:, 0:6] += jsum
+    d_ref[:, 0:36] += dsum
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "split"))
+def hess_packed_v2(pose, mom, cen, aux, *, interpret: bool = False,
+                   split: str = "bf16x3"):
+    """-> (Htilde (6Wp,6Wp), (j,w)-major; J (Wp,128); D (Wp,128))."""
+    Wp, _, Gp = mom.shape
+    bg = BG_HESS2 if Gp % BG_HESS2 == 0 else BG_HESS
+    assert Gp % bg == 0 and Wp % 8 == 0
+    n6 = 6 * Wp
+    return pl.pallas_call(
+        functools.partial(_hess_kernel_v2, split=split),
+        grid=(Gp // bg,),
+        in_specs=[
+            pl.BlockSpec((Wp, 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wp, 10, bg), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, bg), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((AUX_CH, bg), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n6, n6), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wp, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wp, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n6, n6), jnp.float32),
+            jax.ShapeDtypeStruct((Wp, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((Wp, LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n6, 3 * bg), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(pose, mom, cen, aux)
+
+
+# --------------------------------------------------------------------------
 # XLA formulation of kernel B over the packed layout
 # --------------------------------------------------------------------------
 
@@ -693,8 +800,14 @@ def evaluate_packed(R, p, pk: PackedFactors, *, gap_eps: float = 1e-9,
             # already (w,j)-major; crop padding, negate rank part
             H = -Ht.reshape(Wp, 6, Wp, 6)[:W, :, :W, :]
         else:
-            Ht, Jt, Dt = hess_packed(pose, pk.mom, pk.cen, aux,
-                                     interpret=interpret)
+            if impl == "pallas2":
+                split = ("f32" if hess_precision in
+                         (None, lax.Precision.HIGHEST) else "bf16x3")
+                Ht, Jt, Dt = hess_packed_v2(pose, pk.mom, pk.cen, aux,
+                                            interpret=interpret, split=split)
+            else:
+                Ht, Jt, Dt = hess_packed(pose, pk.mom, pk.cen, aux,
+                                         interpret=interpret)
             # (j,w)-major -> (w,j)-major, crop padding, negate rank part
             H = -Ht.reshape(6, Wp, 6, Wp).transpose(1, 0, 3, 2)[:W, :, :W, :]
         D = Dt[:W, :36].reshape(W, 6, 6)

@@ -71,7 +71,7 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
                  update: str = "left", linear_solver: str = "cholesky",
                  backend: str = "xla", edges=None,
                  pcg_iters: int = 0, pcg_tol: float = 1e-6,
-                 hess_precision: str = "high"):
+                 hess_precision: str = "high", packed_impl: str = "xla"):
     """Run the LM loop. R (W,3,3), p (W,3), f: PlaneFactors.
 
     update: 'left' (production, bavoxel.hpp:1122-1125) or 'right'
@@ -96,6 +96,12 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
     ~2e-6 vs exact-f32, measured convergence-identical), 'highest'
     (6-pass exact f32), or 'bf16' (1-pass, ~1e-4 relerr).  J and the
     residual always use exact-f32 channel sums.
+    packed_impl (packed backend only): 'xla' (channel formulation, the
+    default) or 'pallas2' (the fused VMEM-rows kernel).  pallas2 is
+    ~1.5x faster DEVICE-side (2.2 vs 3.2 ms/evaluate at realworld
+    scale) but the axon tunnel charges Mosaic-bearing executables an
+    extra ~20 ms per dispatch, which outweighs the kernel win for the
+    whole fused loop there; co-located TPUs should prefer 'pallas2'.
     """
     if update == "right" and centered:
         raise ValueError("right update requires centered=False")
@@ -114,17 +120,19 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
         cfg.max_iters, cfg.u_init, cfg.v_init, cfg.rel_tol, cfg.abs_tol,
         cfg.min_planes_per_pose, cfg.gauge_fix, centered, use_lapack_eigh,
         update, linear_solver, backend, pallas_interpret, edges,
-        pcg_iters, pcg_tol, hess_precision,
+        pcg_iters, pcg_tol, hess_precision, packed_impl,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnums=(3, 7, 9, 10, 11, 12, 13, 14, 15, 17, 18, 19))
+    jax.jit,
+    static_argnums=(3, 7, 9, 10, 11, 12, 13, 14, 15, 17, 18, 19, 20))
 def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                       min_planes, gauge_fix, centered, use_lapack_eigh,
                       update, linear_solver, backend="xla",
                       pallas_interpret=False, edges=None,
-                      pcg_iters=0, pcg_tol=1e-6, hess_precision="high"):
+                      pcg_iters=0, pcg_tol=1e-6, hess_precision="high",
+                      packed_impl="xla"):
     # full f32 matmul precision for EVERYTHING in the loop: on TPU the
     # default runs matmuls (pose composition, triangular solves) in bf16,
     # which silently degrades steps and stalls convergence ~0.1% above
@@ -134,7 +142,7 @@ def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
             R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
             min_planes, gauge_fix, centered, use_lapack_eigh,
             update, linear_solver, backend, pallas_interpret, edges,
-            pcg_iters, pcg_tol, hess_precision)
+            pcg_iters, pcg_tol, hess_precision, packed_impl)
 
 
 def _blocks6(A, W):
@@ -147,7 +155,7 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                 min_planes, centered, use_lapack_eigh, update,
                 linear_solver, backend="xla", pallas_interpret=False,
                 edges=None, pcg_iters=0, pcg_tol=1e-6,
-                hess_precision="high"):
+                hess_precision="high", packed_impl="xla"):
     """Construct (cond, body, init, degenerate, eval_res) for the LM loop
     — shared by the fused while_loop solver and the host-stepped timed
     variant (honest per-iteration wall-clock for convergence curves)."""
@@ -167,7 +175,7 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
 
         def eval_full_planes(R, p):
             return pe.evaluate_packed(R, p, pkf, interpret=pallas_interpret,
-                                      hess_precision=hp)
+                                      hess_precision=hp, impl=packed_impl)
 
         def eval_res_planes(R, p):
             return pe.residual_only_packed(
@@ -330,11 +338,13 @@ def _damping_iter_body(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                        min_planes, gauge_fix, centered, use_lapack_eigh,
                        update, linear_solver, backend="xla",
                        pallas_interpret=False, edges=None,
-                       pcg_iters=0, pcg_tol=1e-6, hess_precision="high"):
+                       pcg_iters=0, pcg_tol=1e-6, hess_precision="high",
+                       packed_impl="xla"):
     cond, body, init, degenerate, eval_res = _build_loop(
         R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol, min_planes,
         centered, use_lapack_eigh, update, linear_solver, backend,
-        pallas_interpret, edges, pcg_iters, pcg_tol, hess_precision)
+        pallas_interpret, edges, pcg_iters, pcg_tol, hess_precision,
+        packed_impl)
     c = jax.lax.while_loop(cond, body, init)
     return _finish(c, degenerate, eval_res, gauge_fix)
 

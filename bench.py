@@ -83,6 +83,10 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     backend = os.environ.get("BENCH_BACKEND",
                              "pallas" if on_tpu else "xla")
+    # packed evaluator implementation: 'xla' (default — fastest end-to-end
+    # through the tunnel) or 'pallas2' (fused kernel, faster device-side;
+    # see solver/lm.py damping_iter docstring)
+    packed_impl = os.environ.get("BENCH_PACKED_IMPL", "xla")
 
     dtype = "float32"
     cfg = realworld.RealworldConfig(dtype=dtype, centered=True)
@@ -99,7 +103,8 @@ def main():
 
     def run():
         return lm.damping_iter(
-            R, p, f, solver_cfg, centered=True, backend=backend)
+            R, p, f, solver_cfg, centered=True, backend=backend,
+            packed_impl=packed_impl)
 
     # warm up / compile.  CRITICAL: no device->host transfer may happen
     # between here and the end of the timed runs — through the axon

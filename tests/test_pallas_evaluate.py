@@ -121,6 +121,22 @@ def test_csum_xla_matches_pallas_kernel():
     assert float(jnp.max(jnp.abs(a - b))) < 1e-5 * scale
 
 
+def test_evaluate_packed_pallas2_matches_xla():
+    """The v2 fused kernel (full-array channels + in-VMEM rows + split
+    dot) vs the XLA formulation — same (res, J, H) to f32/tile-order
+    roundoff."""
+    R32, p32, f32, packed, fr, R, p = _packed_problem(
+        seed=7, sparse_obs=True, with_fix=True)
+    ra = pe.evaluate_packed(R32, p32, packed, impl="xla")
+    rb = pe.evaluate_packed(R32, p32, packed, impl="pallas2",
+                            interpret=True)
+    assert abs(float(ra[0]) - float(rb[0])) < 1e-6 * abs(float(ra[0]))
+    js = float(jnp.max(jnp.abs(ra[1]))) + 1e-12
+    assert float(jnp.max(jnp.abs(ra[1] - rb[1]))) < 1e-4 * js
+    hs = float(jnp.max(jnp.abs(ra[2]))) + 1e-12
+    assert float(jnp.max(jnp.abs(ra[2] - rb[2]))) < 1e-4 * hs
+
+
 def test_lm_backend_pallas_matches_xla():
     from balm_tpu.config import SolverConfig
     from balm_tpu.solver import lm
