@@ -81,6 +81,16 @@ class HierarchicalConfig:
     # is reserved for maps whose anchor count alone exceeds the dense
     # solver's comfort zone (W >> 10^4 raw scans).
     recurse_at: int = 512
+    # super-scan feature re-extraction: before handing super-scans to the
+    # next level, voxelize each SOLO and keep only points that fall in
+    # admitted planar leaves.  Raw concatenated clouds associate worse at
+    # every added level (wider anchor spacing -> scan-scale voxels see
+    # disjoint slices of structure + accumulated non-planar clutter);
+    # filtering to stable planar structure keeps level-k factors as
+    # informative as level-1's.  'recursive' (default) applies it only
+    # when this run will recurse; 'always' | 'off' force it.
+    refeature_supers: str = "recursive"
+    refeature_voxel: VoxelConfig = VoxelConfig(min_observers=1)
 
 
 def _solve_window(scans, R, p, vcfg, scfg, edges=None):
@@ -134,6 +144,23 @@ def solve_blocks_batched(block_factors, Rs, ps, scfg: SolverConfig):
         jnp.asarray(np.stack(Rs)), jnp.asarray(np.stack(ps)), stacked
     )
     return np.asarray(out.R), np.asarray(out.p)
+
+
+def refeature_super_scan(sp: np.ndarray, vcfg: VoxelConfig) -> np.ndarray:
+    """Planar-inlier filter: keep only points of `sp` (one super-scan,
+    anchor frame) that fall inside admitted planar leaves when the cloud
+    is voxelized solo.  This is the hierarchy's feature re-extraction —
+    the analogue of the front-end's surf extraction, but defined on the
+    composed map geometry instead of raw scanlines."""
+    if len(sp) < vcfg.min_points:
+        return sp
+    vres = grid.voxelize(
+        [np.asarray(sp, np.float64)], np.eye(3)[None], np.zeros((1, 3)),
+        dataclasses.replace(vcfg, min_observers=1), dtype=np.float64)
+    keep = vres.point_leaf >= 0
+    if not keep.any():
+        return sp
+    return np.asarray(sp)[keep]
 
 
 def _edges_in_block(scan_edges, idx):
@@ -299,6 +326,9 @@ def run(
               info["n_edges"] = len(ei)
 
       # --- top level: super-scans in anchor frames ---
+      will_recurse = nb > cfg.recurse_at
+      refeature = (cfg.refeature_supers == "always"
+                   or (cfg.refeature_supers == "recursive" and will_recurse))
       super_scans = []
       for k, s0 in enumerate(starts):
           idx = [i for i in range(W) if owner[i] == k]
@@ -306,6 +336,8 @@ def run(
           for i in idx:
               pts.append(scans[i] @ np.asarray(rel_R[i]).T + rel_p[i])
           sp = np.concatenate(pts) if pts else np.zeros((0, 3))
+          if refeature and len(sp):
+              sp = refeature_super_scan(sp, cfg.refeature_voxel)
           if cfg.super_downsample > 0 and len(sp):
               sp = grid.down_sample_voxel(sp, cfg.super_downsample)
           super_scans.append(sp)

@@ -53,12 +53,32 @@ class OdometryConfig:
         max_iters=8, u_init=0.01, min_planes_per_pose=1, gauge_fix=False
     )
     downsample: float = 0.25           # registration downsample
+    # 27-voxel neighbor association as a RESCUE when the exact lookup
+    # starves (< max(8% of points, 50) matches) — robust to pose error
+    # up to ~a voxel width without admitting clutter in healthy scenes
+    neighbor_assoc: bool = True
+
+
+def _project_so3(R: np.ndarray) -> np.ndarray:
+    """Nearest rotation (polar projection).  The constant-motion
+    prediction R_i = R_{i-1} (R_{i-2}^T R_{i-1}) COMPOUNDS orthonormality
+    error of both factors each scan — left unprojected it grows
+    exponentially and was observed reaching |R| ~ 1e7 by scan 46 on the
+    realworld keyframe data."""
+    U, _, Vt = np.linalg.svd(R)
+    S = np.eye(3)
+    S[2, 2] = np.sign(np.linalg.det(U @ Vt))
+    return U @ S @ Vt
 
 
 def _pack_keys(ks: np.ndarray) -> np.ndarray:
-    """(N, 3) int voxel coords -> packed int64 (21 bits/axis, offset)."""
+    """(N, 3) int voxel coords -> packed int64 (21 bits/axis, offset).
+
+    Coordinates are clipped to the 21-bit range: a diverged upstream pose
+    would otherwise overflow the bit fields and silently alias unrelated
+    voxels (observed before the non-finite guards were added)."""
     off = np.int64(1) << 20
-    k = ks.astype(np.int64) + off
+    k = np.clip(ks.astype(np.int64), -off + 1, off - 1) + off
     return (k[:, 0] << 42) | (k[:, 1] << 21) | k[:, 2]
 
 
@@ -131,6 +151,14 @@ class VoxelPlaneMap:
         vbar = Cs[:, :3, 3] / np.maximum(N, 1.0)[:, None]
         cov = Cs[:, :3, :3] / np.maximum(N, 1.0)[:, None, None] - (
             vbar[:, :, None] * vbar[:, None, :])
+        # a voxel fed non-finite points (diverged upstream pose) or left
+        # with float residue after remove/insert swaps must not crash the
+        # batched eigh — mark it not-a-landmark instead
+        bad = ~np.isfinite(cov).all(axis=(1, 2))
+        if bad.any():
+            cov[bad] = np.eye(3)
+            enough = enough & ~bad
+        cov = 0.5 * (cov + np.swapaxes(cov, 1, 2))
         lam, U = np.linalg.eigh(cov)
         ok = enough & (
             lam[:, 0] / np.maximum(lam[:, 1], 1e-30) < self.ratio)
@@ -185,9 +213,45 @@ class VoxelPlaneMap:
         hit = skeys[pos] == packed
         return np.where(hit, pos, -1)
 
-    def lookup(self, world: np.ndarray) -> np.ndarray:
+    @staticmethod
+    def _lookup_neighbors(skeys, cents, norms, world, vs):
+        """27-voxel association: each point may match a landmark in its
+        own OR any face/edge/corner-adjacent voxel; among hits, pick the
+        smallest point-to-plane distance.  The exact-voxel lookup loses
+        points that sit within a voxel-width of their true plane under
+        pose error — exactly the aggressive-rotation regime where the
+        front-end needs correspondences most (cf. the reference's kd-tree
+        radius search, balmclass.hpp scan2map)."""
+        if len(skeys) == 0:
+            return np.full(len(world), -1, np.int64)
+        base = np.floor(world / vs).astype(np.int64)
+        best = np.full(len(world), -1, np.int64)
+        # gate: a match more than half a voxel out of plane is geometry
+        # from somewhere else, not a displaced correspondence
+        bestd = np.full(len(world), 0.5 * vs)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    packed = _pack_keys(base + np.array([dx, dy, dz]))
+                    pos = np.searchsorted(skeys, packed)
+                    pos = np.clip(pos, 0, len(skeys) - 1)
+                    hit = skeys[pos] == packed
+                    if not hit.any():
+                        continue
+                    d = np.abs(np.sum(
+                        norms[pos] * (world - cents[pos]), axis=-1))
+                    upd = hit & (d < bestd)
+                    best[upd] = pos[upd]
+                    bestd[upd] = d[upd]
+        return best
+
+    def lookup(self, world: np.ndarray, neighbors: bool = False):
         """Vectorized association: rows into the plane table (-1 = none)."""
-        return self._lookup_in(self.plane_table()[0], world, self.vs)
+        skeys, cents, norms = self.plane_table()
+        if neighbors:
+            return self._lookup_neighbors(skeys, cents, norms, world,
+                                          self.vs)
+        return self._lookup_in(skeys, world, self.vs)
 
     def lookup_lines(self, world: np.ndarray) -> np.ndarray:
         return self._lookup_in(self.line_table()[0], world, self.vs)
@@ -210,6 +274,11 @@ def _gn_step(R, p, pts, normals, centers, wgt):
     H = Jw_.T @ J
     g = Jw_.T @ r
     dx = jnp.linalg.solve(H + 1e-6 * jnp.eye(6), -g)
+    # trust gate: a degenerate/starved correspondence set must not emit a
+    # NaN or runaway step (a huge-but-FINITE dx overflows f64 within a few
+    # constant-motion extrapolations downstream) — skip the step instead
+    ok = jnp.all(jnp.isfinite(dx)) & (jnp.linalg.norm(dx) < 1.0)
+    dx = jnp.where(ok, dx, jnp.zeros_like(dx))
     Rn, pn = lie.se3_left_update(R, p, dx)
     cost = jnp.sum(wgt * r * r)
     return Rn, pn, cost
@@ -246,6 +315,8 @@ def _gn_mixed(R, p, pts, normals, centers, wgt, lpts, ldirs, lcents, lwgt):
         cost = cost + jnp.sum(lwgt * jnp.sum(e * e, axis=-1))
 
         dx = jnp.linalg.solve(H + 1e-6 * jnp.eye(6), -g)
+        ok = jnp.all(jnp.isfinite(dx)) & (jnp.linalg.norm(dx) < 1.0)
+        dx = jnp.where(ok, dx, jnp.zeros_like(dx))
         Rn, pn = lie.se3_left_update(R, p, dx)
         return Rn, pn, cost
 
@@ -267,36 +338,69 @@ def register_scan(scan: np.ndarray, R0, p0, vmap: VoxelPlaneMap,
         world = np.asarray(pts @ np.asarray(R).T + np.asarray(p))
         rows = vmap.lookup(world)
         sel = rows >= 0
+        # neighbor RESCUE: the exact-voxel lookup loses correspondences
+        # exactly when the prediction is worst (aggressive rotation /
+        # accumulated drift).  Only when association starves do we widen
+        # to the 27-voxel search — in healthy scenes the wider search
+        # would admit off-plane clutter (e.g. pole feet onto the floor)
+        if cfg.neighbor_assoc and sel.sum() < max(0.08 * len(pts), 50):
+            rows = vmap.lookup(world, neighbors=True)
+            sel = rows >= 0
         if sel.sum() < 20:
             break
         n_used = int(sel.sum())
-        P = jnp.asarray(pts[sel])
-        Nn = jnp.asarray(norms[rows[sel]])
-        Cc = jnp.asarray(cents[rows[sel]])
+        # bucket-pad the correspondence arrays: every distinct row count
+        # is a fresh jit compile of the GN kernels (profiled: 918 XLA
+        # compiles = 58 of 99 s over 29 scans).  Padding normals/weights
+        # with zeros nullifies the extra rows exactly.
+        m = max(1024, -(-n_used // 1024) * 1024)
+        P = np.zeros((m, 3)); P[:n_used] = pts[sel]
+        Nn = np.zeros((m, 3)); Nn[:n_used] = norms[rows[sel]]
+        Cc = np.zeros((m, 3)); Cc[:n_used] = cents[rows[sel]]
+        mask = np.zeros(m); mask[:n_used] = 1.0
+        P, Nn, Cc = jnp.asarray(P), jnp.asarray(Nn), jnp.asarray(Cc)
+        mask = jnp.asarray(mask)
         if use_lines:
             lrows = vmap.lookup_lines(world)
             lsel = lrows >= 0
-            Pl = jnp.asarray(pts[lsel].reshape(-1, 3))
-            Dl = jnp.asarray(ldirs[lrows[lsel]].reshape(-1, 3))
-            Cl = jnp.asarray(lcents[lrows[lsel]].reshape(-1, 3))
-            n_used += int(lsel.sum())
+            nl = int(lsel.sum())
+            ml = max(256, -(-max(nl, 1) // 256) * 256)
+            Pl = np.zeros((ml, 3)); Pl[:nl] = pts[lsel].reshape(-1, 3)
+            Dl = np.tile(np.array([0.0, 0.0, 1.0]), (ml, 1))
+            Dl[:nl] = ldirs[lrows[lsel]].reshape(-1, 3)
+            Cl = np.zeros((ml, 3)); Cl[:nl] = lcents[lrows[lsel]].reshape(-1, 3)
+            lmask = np.zeros(ml); lmask[:nl] = 1.0
+            Pl, Dl, Cl = jnp.asarray(Pl), jnp.asarray(Dl), jnp.asarray(Cl)
+            lmask = jnp.asarray(lmask)
+            n_used += nl
         for _ in range(cfg.reg_iters):
             # huber-style reweighting on current residuals
             x = P @ R.T + p
             r = jnp.sum(Nn * (x - Cc), axis=-1)
-            w = jnp.where(jnp.abs(r) < cfg.huber, 1.0,
-                          cfg.huber / jnp.maximum(jnp.abs(r), 1e-12))
-            if use_lines and Pl.shape[0] > 0:
+            w = mask * jnp.where(jnp.abs(r) < cfg.huber, 1.0,
+                                 cfg.huber / jnp.maximum(jnp.abs(r), 1e-12))
+            if use_lines:
                 xl = Pl @ R.T + p
                 e0 = xl - Cl
                 el = jnp.linalg.norm(
                     e0 - Dl * jnp.sum(Dl * e0, -1, keepdims=True), axis=-1)
-                wl = jnp.where(el < cfg.huber, 1.0,
-                               cfg.huber / jnp.maximum(el, 1e-12))
+                wl = lmask * jnp.where(el < cfg.huber, 1.0,
+                                       cfg.huber / jnp.maximum(el, 1e-12))
                 R, p, cost = _gn_mixed(R, p, P, Nn, Cc, w, Pl, Dl, Cl, wl)
             else:
                 R, p, cost = _gn_point_to_plane(R, p, P, Nn, Cc, w)
-    return np.asarray(R), np.asarray(p), n_used
+    R = np.asarray(R)
+    p = np.asarray(p)
+    # registration sanity: non-finite, or total correction beyond what a
+    # one-scan prediction error can be (the map is at most a voxel-few
+    # off), means the solve latched onto wrong geometry — keep the
+    # prediction and let the map grow along it instead
+    dp = np.linalg.norm(p - np.asarray(p0))
+    cosang = np.clip((np.trace(np.asarray(R0).T @ R) - 1.0) / 2.0, -1, 1)
+    if not (np.isfinite(R).all() and np.isfinite(p).all()) or (
+            dp > 5.0 * vmap.vs or np.arccos(cosang) > 0.8):
+        return np.asarray(R0), np.asarray(p0), 0
+    return R, p, n_used
 
 
 def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
@@ -326,7 +430,7 @@ def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
         if i >= 2:
             dR = R[i - 2].T @ R[i - 1]
             dp = R[i - 2].T @ (p[i - 1] - p[i - 2])
-            R[i] = R[i - 1] @ dR
+            R[i] = _project_so3(R[i - 1] @ dR)
             p[i] = R[i - 1] @ dp + p[i - 1]
         else:
             R[i] = R[i - 1]
@@ -344,9 +448,11 @@ def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
                 (i + 1) % cfg.ba_every == 0 or i == W - 1):
             lo = i - cfg.window + 1
             idx = list(range(lo, i + 1))
+            # coarse plane-axis padding: every new plane count would
+            # otherwise recompile the window-BA solver
             vres = grid.voxelize(
                 [scans[j] for j in idx], R[idx], p[idx], cfg.ba_voxel,
-                dtype=np.float64,
+                dtype=np.float64, pad_to=512,
             )
             if vres.num_planes >= 3:
                 fj = Fmod.PlaneFactors(
@@ -363,7 +469,7 @@ def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
                 A = R[lo] @ Rw[0].T
                 b = p[lo] - A @ pw[0]
                 for j, jj in enumerate(idx):
-                    R[jj] = A @ Rw[j]
+                    R[jj] = _project_so3(A @ Rw[j])
                     p[jj] = A @ pw[j] + b
                 info["ba_runs"] += 1
                 # swap only the re-optimized scans' contributions —

@@ -1,0 +1,90 @@
+"""Streaming front-end throughput: scans/sec on the realworld 177-scan
+data (BASELINE.md metric list: ATE, LM iter/s, scans/sec).
+
+The BALM-old reference front-end targets real-time LiDAR rates (10 Hz);
+this measures the full streaming loop — constant-motion predict,
+scan-to-map GN registration, incremental voxel map insert/swap, periodic
+window BA — end to end on CPU (the loop is host-driven; its kernels are
+small enough that tunneled-TPU dispatch overhead would dominate).
+
+Produces artifacts/odometry_throughput.json.
+Run: python scripts/bench_odometry.py [max_scans]
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+
+if __name__ == "__main__":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from balm_tpu.ops import lie  # noqa: E402
+from balm_tpu.pipelines import odometry, realworld  # noqa: E402
+from balm_tpu.utils import metrics  # noqa: E402
+
+
+def main(max_scans=100):
+    cfg = realworld.RealworldConfig(max_scans=max_scans)
+    R_ref, p_ref, scans = realworld.load(cfg)
+    # the reference front-end consumes sparse FEATURE clouds (a few
+    # thousand surf points per scan, livox_feature.cpp), not raw 80k-point
+    # scans — voxel-downsample to a comparable working set
+    from balm_tpu.voxel import grid as _grid
+    scans = [_grid.down_sample_voxel(s, 0.4) for s in scans]
+    n_pts = int(sum(len(s) for s in scans))
+    print(f"scans={len(scans)} points={n_pts} "
+          f"(~{n_pts//len(scans)}/scan after 0.4 m downsample)", flush=True)
+
+    ocfg = odometry.OdometryConfig()
+    # warm the jitted GN kernels on a prefix so compile time is not
+    # charged to the steady-state throughput figure
+    odometry.run(scans[:8], ocfg)
+
+    t0 = time.perf_counter()
+    R, p, info = odometry.run(scans, ocfg)
+    dt = time.perf_counter() - t0
+    sps = len(scans) / dt
+
+    # drift vs the dataset's reference trajectory (odometry alone, no
+    # global BA: expect meter-level tail drift, NOT parity)
+    Rg, pg = lie.gauge_fix(jnp.asarray(R_ref), jnp.asarray(p_ref))
+    Ro, po = lie.gauge_fix(jnp.asarray(R), jnp.asarray(p))
+    rot, tra = metrics.pose_rsme(Ro, po, Rg, pg)
+
+    result = {
+        "metric": "streaming_scans_per_sec_realworld",
+        "scans": len(scans),
+        "points": n_pts,
+        "total_s": round(dt, 2),
+        "scans_per_sec": round(sps, 2),
+        "points_per_sec": round(n_pts / dt, 0),
+        "window_ba_runs": info["ba_runs"],
+        "drift_vs_ref_deg_m": [float(rot) * 57.3, float(tra)],
+        "note": ("host CPU streaming loop; 10 Hz is the sensor real-time "
+                 "bar (reference front-end design point).  Drift caveat: "
+                 "this dataset is BA keyframes with median 7.6 deg / max "
+                 "42.8 deg rotation BETWEEN scans — far outside any "
+                 "constant-motion front-end's envelope (a 10 Hz stream "
+                 "moves ~1 deg/scan), so tracking degrades beyond ~35 "
+                 "scans; the synthetic continuous-motion streaming tests "
+                 "(tests/test_odometry.py) are the accuracy oracle."),
+    }
+    outp = pathlib.Path(__file__).resolve().parents[1] / "artifacts"
+    outp.mkdir(exist_ok=True)
+    with open(outp / "odometry_throughput.json", "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 100)

@@ -1,0 +1,124 @@
+"""Dense-window scaling on the real TPU: evaluate/loop cost and achieved
+FLOP/s as the window grows past the reference's W=177 ceiling.
+
+The packed evaluator's Hessian is one (6Wp, 3Gp) x (3Gp, 6Wp) MXU
+product, so utilization RISES with W (the reference's dense path is
+capped at W=177 and single-threaded Eigen).  Device times use the
+slope method (immune to tunnel dispatch overhead and host-transfer
+poisoning, see artifacts/transfer_poisoning.md).
+
+Produces artifacts/tpu_dense_scale.json.
+Usage: BENCH_FORCE_TPU=1 python scripts/tpu_dense_scale.py [W ...]
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def slope(fn_maker, args, K1=2, K2=6):
+    import jax
+    f1, f2 = fn_maker(K1), fn_maker(K2)
+    jax.block_until_ready(f1(*args))
+    jax.block_until_ready(f2(*args))
+    t = {}
+    for nm, g in (("1", f1), ("2", f2)):
+        best = np.inf
+        for _ in range(4):
+            t0 = time.perf_counter()
+            jax.block_until_ready(g(*args))
+            best = min(best, time.perf_counter() - t0)
+        t[nm] = best
+    return (t["2"] - t["1"]) / (K2 - K1)
+
+
+if __name__ == "__main__":
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from jax import lax
+
+    from balm_tpu.config import SolverConfig
+    from balm_tpu.ops import factors as Fmod
+    from balm_tpu.ops import packed as packed_mod, pallas_evaluate as pe
+    from balm_tpu.pipelines import virtual
+    from balm_tpu.solver import lm
+
+    # (W, G): window x plane-count pairs; the virtual generator gives an
+    # association-free dense problem (benchmark_virtual protocol) so the
+    # measurement isolates the evaluator, not voxelization variance
+    sizes = [(128, 1024), (256, 2048), (512, 4096)]
+    if len(sys.argv) > 2:
+        sizes = [(int(sys.argv[1]), int(sys.argv[2]))]
+    out = {"device": str(jax.devices()[0]), "windows": []}
+    for W, G in sizes:
+        vcfg = virtual.VirtualConfig(win_size=W, surf_size=G, pts_size=6,
+                                     seed=3)
+        R_gt, p_gt, body = virtual.generate(vcfg)
+        R0, p0 = virtual.perturb(R_gt, p_gt, vcfg)
+        f = Fmod.recenter_bodies(
+            virtual.build_factors(body, jnp.float64)).astype(jnp.float32)
+        R = jnp.asarray(R0, jnp.float32)
+        p = jnp.asarray(p0, jnp.float32)
+        pkf = jax.block_until_ready(jax.jit(packed_mod.pack_factors)(f))
+        Wp, Gp = pkf.wp, pkf.mom.shape[2]
+        flops_h = 3 * 2 * (6 * Wp) ** 2 * Gp
+
+        rec = {"W": W, "Wp": Wp, "planes": G, "Gp": Gp}
+        with jax.default_matmul_precision("float32"):
+            for impl in ("xla", "pallas2"):
+                def ev(Rc, pc, impl=impl):
+                    return pe.evaluate_packed(
+                        Rc, pc, pkf, impl=impl,
+                        hess_precision=lax.Precision.HIGH)
+
+                def maker(K):
+                    @jax.jit
+                    def run(R, p):
+                        def body(_, c):
+                            Rc, pc, s = c
+                            o = ev(Rc, pc)
+                            s2 = sum(jnp.sum(jnp.abs(x)) for x in o)
+                            return (Rc, pc + 1e-30 * s2, s2)
+                        return lax.fori_loop(
+                            0, K, body, (R, p, jnp.zeros(())))[2]
+                    return run
+
+                try:
+                    dt = slope(maker, (R, p))
+                    rec[f"eval_{impl}_ms"] = round(dt * 1e3, 3)
+                    rec[f"eval_{impl}_tflops"] = round(flops_h / dt / 1e12, 2)
+                except Exception as e:  # VMEM overflow at large W
+                    rec[f"eval_{impl}_ms"] = None
+                    rec[f"eval_{impl}_error"] = str(e).split("\n")[0][:120]
+
+            # whole 10-iteration fused LM solve, wall clock (one dispatch)
+            scfg = SolverConfig(max_iters=10, u_init=0.1, rel_tol=0.0,
+                                min_planes_per_pose=0)
+            def run_loop():
+                return lm.damping_iter(R, p, f, scfg, centered=True,
+                                       backend="packed")
+            jax.block_until_ready(run_loop().R)
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                jax.block_until_ready(run_loop().R)
+                ts.append(time.perf_counter() - t0)
+            rec["loop10_wall_ms"] = round(min(ts) * 1e3, 1)
+            rec["loop10_iter_per_s"] = round(10 / min(ts), 1)
+        out["windows"].append(rec)
+        print(json.dumps(rec), flush=True)
+
+    outp = pathlib.Path(__file__).resolve().parents[1] / "artifacts"
+    with open(outp / "tpu_dense_scale.json", "w") as fh:
+        json.dump(out, fh, indent=2)

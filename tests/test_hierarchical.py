@@ -128,6 +128,45 @@ def test_hierarchical_no_polish_still_good():
     assert float(trah) < 0.4 * float(tra0)
 
 
+def test_refeature_super_scan_keeps_planes_drops_clutter():
+    """The planar-inlier filter must retain plane-patch points and drop
+    scattered volumetric noise (the feature re-extraction that keeps
+    recursive levels' association from thinning)."""
+    rng = np.random.default_rng(5)
+    n_pl = 400
+    plane = np.stack([rng.uniform(0, 0.9, n_pl), rng.uniform(0, 0.9, n_pl),
+                      0.5 + rng.normal(0, 0.002, n_pl)], -1)
+    clutter = rng.uniform(2.05, 2.95, size=(60, 3))  # one sparse voxel
+    sp = np.concatenate([plane, clutter])
+    out = hierarchical.refeature_super_scan(
+        sp, VoxelConfig(min_observers=1, min_points=15))
+    # all plane points survive; the diffuse clutter voxel is rejected
+    assert len(out) >= n_pl
+    assert len(out) < len(sp)
+    assert np.all(out[:, 2] < 1.0)
+
+
+def test_recursive_refeature_no_worse():
+    """Recursion with super-scan re-extraction must match the quality of
+    recursion on raw super-scans on a well-conditioned scene (and runs
+    the 'always' config path)."""
+    R_gt, p_gt, scans = make_long_scene(W=24, seed=41)
+    R0, p0 = perturb_drift(R_gt, p_gt, seed=42)
+    Rg, pg = lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
+    raw = hierarchical.HierarchicalConfig(block=8, stride=6, polish=False,
+                                          cycles=1, recurse_at=2,
+                                          refeature_supers="off")
+    ref = hierarchical.HierarchicalConfig(block=8, stride=6, polish=False,
+                                          cycles=1, recurse_at=2,
+                                          refeature_supers="always")
+    R1, p1, _ = hierarchical.run(scans, R0, p0, raw)
+    R2, p2, i2 = hierarchical.run(scans, R0, p0, ref)
+    _, t1 = metrics.pose_rsme(jnp.asarray(R1), jnp.asarray(p1), Rg, pg)
+    _, t2 = metrics.pose_rsme(jnp.asarray(R2), jnp.asarray(p2), Rg, pg)
+    assert "recursed" in i2
+    assert float(t2) < 1.5 * float(t1) + 1e-4
+
+
 def test_recursive_top_level_matches_direct():
     """Forcing recursion at a tiny anchor count must land at the same
     quality as the direct top solve (mechanism regression test; the
