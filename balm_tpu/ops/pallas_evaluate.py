@@ -554,6 +554,11 @@ def hess_packed_v2(pose, mom, cen, aux, *, interpret: bool = False,
     """-> (Htilde (6Wp,6Wp), (j,w)-major; J (Wp,128); D (Wp,128))."""
     Wp, _, Gp = mom.shape
     bg = BG_HESS2 if Gp % BG_HESS2 == 0 else BG_HESS
+    # the H window + dot accumulator (2 x 36 Wp^2 f32) dominate VMEM at
+    # large Wp; shrink the plane tile so rows/moments/channels fit in the
+    # remainder of the ~110 MB budget
+    if Wp > 256 and bg > BG_HESS:
+        bg = BG_HESS
     assert Gp % bg == 0 and Wp % 8 == 0
     n6 = 6 * Wp
     return pl.pallas_call(
@@ -789,6 +794,11 @@ def evaluate_packed(R, p, pk: PackedFactors, *, gap_eps: float = 1e-9,
     """
     W = R.shape[0]
     Wp = pk.wp
+    if impl == "pallas2" and 2 * 36 * Wp * Wp * 4 > 100 * 1024 * 1024:
+        # the kernel's H window + dot accumulator alone would exceed the
+        # scoped-VMEM budget (Wp ~ 680+); the XLA formulation has no
+        # window-size limit
+        impl = "xla"
     pose = pad_poses(R, p, Wp).astype(jnp.float32)
     with jax.default_matmul_precision("float32"):
         csum = csum_packed_xla(pose, pk.mom, pk.cen, pk.cfix)

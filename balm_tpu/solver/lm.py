@@ -372,8 +372,16 @@ def damping_iter_timed(R, p, f: F.PlaneFactors,
             cfg.abs_tol, cfg.min_planes_per_pose, centered,
             use_lapack_eigh, "left", "cholesky", backend,
             pallas_interpret, None)
-        step = jax.jit(body)
-        cond_j = jax.jit(cond)
+
+        # guarded step: a finished carry passes through unchanged, so the
+        # host can dispatch a FIXED max_iters steps and read NOTHING
+        # between them — through the axon tunnel a single host fetch
+        # (even `bool(cond(c))`) degrades every later dispatch ~16x
+        # (artifacts/transfer_poisoning.md), which would corrupt exactly
+        # the per-iteration times this function exists to measure.
+        @jax.jit
+        def step(c):
+            return jax.lax.cond(cond(c), body, lambda c: c, c)
 
         # warm up (compile) outside the timed region
         jax.block_until_ready(step(init))
@@ -381,10 +389,12 @@ def damping_iter_timed(R, p, f: F.PlaneFactors,
         times = []
         c = init
         t0 = _time.perf_counter()
-        while bool(cond_j(c)):
+        for _ in range(cfg.max_iters):
             c = jax.block_until_ready(step(c))
             times.append(_time.perf_counter() - t0)
         res = _finish(c, degenerate, eval_res, cfg.gauge_fix)
+        # keep only the timestamps of iterations that actually ran
+        times = times[:int(res.iters)]
     return res, np.asarray(times)
 
 

@@ -22,7 +22,7 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
-def slope(fn_maker, args, K1=2, K2=6):
+def slope(fn_maker, args, K1=4, K2=24):
     import jax
     f1, f2 = fn_maker(K1), fn_maker(K2)
     jax.block_until_ready(f1(*args))
@@ -30,7 +30,7 @@ def slope(fn_maker, args, K1=2, K2=6):
     t = {}
     for nm, g in (("1", f1), ("2", f2)):
         best = np.inf
-        for _ in range(4):
+        for _ in range(6):
             t0 = time.perf_counter()
             jax.block_until_ready(g(*args))
             best = min(best, time.perf_counter() - t0)
@@ -60,14 +60,44 @@ if __name__ == "__main__":
     sizes = [(128, 1024), (256, 2048), (512, 4096)]
     if len(sys.argv) > 2:
         sizes = [(int(sys.argv[1]), int(sys.argv[2]))]
-    out = {"device": str(jax.devices()[0]), "windows": []}
+    # tunnel-state fingerprint: a fixed 512^3 matmul chain whose device
+    # time is known (~1.3 ms quiet).  The shared tunnel time-slices the
+    # chip; captures where this reads far above quiet are degraded and
+    # should be re-taken (compare runs by this field).
+    A = jnp.eye(512, dtype=jnp.float32)
+
+    def _mm(K):
+        @jax.jit
+        def f(A):
+            from jax import lax as _lax
+            return _lax.fori_loop(
+                0, K, lambda i, X: 0.5 * (X @ X) + 0.5 * A, A)
+        return f
+    fingerprint_ms = round(slope(_mm, (A,)) * 1e3, 3)
+
+    out = {"device": str(jax.devices()[0]),
+           "tunnel_fingerprint_ms_per_512matmul": fingerprint_ms,
+           "windows": []}
+    print(f"fingerprint {fingerprint_ms} ms/512-matmul", flush=True)
     for W, G in sizes:
         vcfg = virtual.VirtualConfig(win_size=W, surf_size=G, pts_size=6,
                                      seed=3)
         R_gt, p_gt, body = virtual.generate(vcfg)
         R0, p0 = virtual.perturb(R_gt, p_gt, vcfg)
-        f = Fmod.recenter_bodies(
-            virtual.build_factors(body, jnp.float64)).astype(jnp.float32)
+        # host-side moment build: the on-device per-point (N,4,4) outer
+        # product intermediate is 32x-padded by the (4,128) tile layout
+        # (25.8 GB at W=512, G=4096 — exceeds HBM)
+        q = np.concatenate([body, np.ones(body.shape[:-1] + (1,))], -1)
+        C = np.einsum("gwka,gwkb->gwab", q, q)
+        fK = body.shape[2]
+        # stay in NUMPY f64 through recentering (x64 is off in this TPU
+        # process; jnp would silently truncate before the cancellation)
+        f64 = Fmod.PlaneFactors(
+            C=C, Cfix=np.zeros((G, 4, 4)),
+            coe=np.full((G,), float(W * fK)),
+            centers=np.zeros((G, 3)), body_centers=np.zeros((G, W, 3)))
+        f = Fmod.recenter_bodies(f64).astype(np.float32)
+        del q, C, f64
         R = jnp.asarray(R0, jnp.float32)
         p = jnp.asarray(p0, jnp.float32)
         pkf = jax.block_until_ready(jax.jit(packed_mod.pack_factors)(f))
