@@ -47,6 +47,9 @@ class RealworldConfig:
     # write refined trajectory (reference CSV format) + convergence curve
     # ("time cost" per accepted iteration, the Supplementary/data format)
     export_dir: Optional[str] = None
+    # solver backend: 'auto' picks the packed TPU fast path when running
+    # centered f32 on a TPU, the XLA evaluator otherwise
+    backend: str = "auto"
 
 
 def load(cfg: RealworldConfig):
@@ -104,13 +107,30 @@ def run(cfg: RealworldConfig = RealworldConfig(), *, verbose: bool = False):
         summary["status"] = "too_few_planes"
         return summary
 
+    backend = cfg.backend
+    if backend == "auto":
+        import jax as _jax
+        backend = ("packed" if (_jax.default_backend() == "tpu"
+                                and cfg.centered
+                                and jnp.dtype(dtype) == jnp.float32)
+                   else "xla")
     t0 = time.perf_counter()
     res = lm.damping_iter(
         jnp.asarray(R, dtype), jnp.asarray(p, dtype), f, cfg.solver,
-        centered=cfg.centered,
+        centered=cfg.centered, backend=backend,
     )
     res.R.block_until_ready()
     t_solve = time.perf_counter() - t0
+
+    # HONEST convergence timestamps must be captured BEFORE any host
+    # fetch: one fetch degrades every later dispatch ~16x through the
+    # axon tunnel (artifacts/transfer_poisoning.md), which would inflate
+    # exactly the per-iteration times being recorded.
+    if cfg.export_dir is not None:
+        res_t, t_iter = lm.damping_iter_timed(
+            jnp.asarray(R, dtype), jnp.asarray(p, dtype), f, cfg.solver,
+            centered=cfg.centered, backend=backend,
+        )
 
     summary.update(
         status="degenerate" if bool(res.degenerate) else "ok",
@@ -133,12 +153,7 @@ def run(cfg: RealworldConfig = RealworldConfig(), *, verbose: bool = False):
         )
         # convergence curve in the Supplementary/data format:
         # "cumulative_time(s) cost" per accepted iteration
-        # (Supplementary/data/readme.txt).  HONEST timestamps: re-run the
-        # identical loop body host-stepped, synchronizing per iteration.
-        res_t, t_iter = lm.damping_iter_timed(
-            jnp.asarray(R, dtype), jnp.asarray(p, dtype), f, cfg.solver,
-            centered=cfg.centered,
-        )
+        # (Supplementary/data/readme.txt)
         n = int(res_t.iters)
         accepted = np.array(res_t.trace_accept)[:n] > 0.5
         costs = np.array(res_t.trace_res2)[:n][accepted]

@@ -157,6 +157,28 @@ def test_lm_backend_pallas_matches_xla():
     assert float(jnp.max(jnp.abs(ra.p - rb.p))) < 1e-3
 
 
+def test_lm_packed_impl_and_precision_variants():
+    """All (packed_impl, hess_precision) combinations must converge to
+    the same solution on a small problem (interpret mode on CPU; the
+    precision knob is a TPU matmul-pass count, a no-op here — this test
+    covers the plumbing and the pallas2 loop path)."""
+    from balm_tpu.config import SolverConfig
+    from balm_tpu.solver import lm
+
+    R32, p32, f32, packed, fr, R, p = _packed_problem(seed=13)
+    cfg = SolverConfig(max_iters=4, rel_tol=0.0, min_planes_per_pose=0)
+    ref = lm.damping_iter(R32, p32, fr, cfg, centered=True,
+                          backend="packed")
+    for impl, hp in (("pallas2", "high"), ("xla", "highest"),
+                     ("xla", "bf16")):
+        out = lm.damping_iter(R32, p32, fr, cfg, centered=True,
+                              backend="packed", packed_impl=impl,
+                              hess_precision=hp)
+        assert abs(float(out.residual) - float(ref.residual)) < 1e-3 * (
+            abs(float(ref.residual)) + 1e-12)
+        assert float(jnp.max(jnp.abs(out.p - ref.p))) < 1e-3
+
+
 def test_packed_backend_at_large_w():
     """The packed backend has no window-size limit (its Hessian is an
     HBM matmul, unlike the superseded all-VMEM Pallas kernel which OOMed
