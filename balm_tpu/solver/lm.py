@@ -232,14 +232,14 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                 lambda: jnp.linalg.solve(A, -J),
             )
         elif linear_solver == "pcg":
-            # XLA's dense factorizations run the (6W)^2 solve at ~15
-            # GFLOP/s on TPU (blocked triangular code, ~24 ms at W=177 —
-            # as slow as the whole Hessian build).  Block-Jacobi PCG
-            # replaces it with bandwidth-bound matvecs (H is only ~4.5 MB)
-            # and the small-block machinery of solver/large.py; the damped
-            # system is SPD whenever LM is making progress, and an
-            # unconverged/indefinite step is just a rejected LM iteration
-            # (u grows, same protection as the Cholesky fallback).
+            # Kept as an option, but measured SLOWER than the direct
+            # Cholesky at every dense scale tried (W=177 and W=512,
+            # artifacts/w512_solver_ab.json): XLA's blocked Cholesky runs
+            # at ~1.2 TFLOP/s on TPU (~0.3 ms at 6W=1062, ~8 ms at 3072),
+            # while each CG iteration is a chain of small sequential
+            # kernels that are latency-bound (~5 ms/iteration).  (Earlier
+            # notes claiming a 24 ms Cholesky were transfer-poisoned
+            # timings — artifacts/transfer_poisoning.md.)
             from . import large as _large
 
             Ablk = _blocks6(A, W)
