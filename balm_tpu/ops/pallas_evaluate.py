@@ -594,6 +594,183 @@ def hess_packed_v2(pose, mom, cen, aux, *, interpret: bool = False,
 
 
 # --------------------------------------------------------------------------
+# Kernel B v3: 2-D pose-block grid — VMEM bounded at ANY window size
+# --------------------------------------------------------------------------
+
+BW_HESS3 = int(os.environ.get("BALM_BW_HESS3", "128"))   # pose rows / block
+BG_HESS3 = int(os.environ.get("BALM_BG_HESS3", "256"))   # planes / tile
+
+
+def _hess_kernel_v3(blk_ref, pose_i_ref, pose_j_ref, mom_i_ref, mom_j_ref,
+                    cen_ref, aux_ref, h_ref, j_ref, d_ref,
+                    rows_i_ref, rows_j_ref, *, split: str):
+    """One (pose-block-pair, plane-tile) step of the blocked Hessian.
+
+    v2 keeps the whole (6Wp, 6Wp) H and (6Wp, 3BG) rows in VMEM, which
+    caps Wp at ~680 and loses MXU efficiency from VMEM pressure well
+    before that.  v3 tiles the POSE axis too: grid step (p, g) computes
+    the (6Bw, 6Bw) block H[I, J] (I = blk[p,0], J = blk[p,1], lower
+    triangle only — the mirror is scattered in the XLA glue) restricted
+    to plane tile g, accumulating over g in the output window.  Rank
+    rows for the two pose blocks are rebuilt per step from the same
+    channel code as the XLA path; that recompute is O(Wp·Gp·nB) VPU work
+    vs the O(Wp²·Gp) MXU dot — negligible for nB ≪ 6Wp.
+
+    VMEM per step is constant in Wp: H window 36·Bw² + two (6Bw, 3BG)
+    rows + two (Bw, 10, BG) moment tiles ≈ 12 MB at (Bw, BG) = (128,
+    256).  The gradient/diag sums accumulate only on diagonal pairs
+    (their window is indexed by I and the diagonal pair is the last
+    visit of that window).
+    """
+    g = pl.program_id(1)
+    pidx = pl.program_id(0)
+    Bw = mom_i_ref.shape[0]
+    BG = mom_i_ref.shape[2]
+    is_diag = blk_ref[pidx, 0] == blk_ref[pidx, 1]
+
+    rows, jv, D = _rows_channels_xla(
+        pose_i_ref[...], mom_i_ref[...], cen_ref[...], aux_ref[...])
+    for j in range(6):
+        for k in range(3):
+            rows_i_ref[pl.ds(j * Bw, Bw), k * BG:(k + 1) * BG] = rows[j][k]
+    rows_j, _, _ = _rows_channels_xla(
+        pose_j_ref[...], mom_j_ref[...], cen_ref[...], aux_ref[...])
+    for j in range(6):
+        for k in range(3):
+            rows_j_ref[pl.ds(j * Bw, Bw), k * BG:(k + 1) * BG] = rows_j[j][k]
+
+    Mi = rows_i_ref[...]
+    Mj = rows_j_ref[...]
+    if split == "bf16x3":
+        hi_i = Mi.astype(jnp.bfloat16)
+        lo_i = (Mi - hi_i.astype(jnp.float32)).astype(jnp.bfloat16)
+        hi_j = Mj.astype(jnp.bfloat16)
+        lo_j = (Mj - hi_j.astype(jnp.float32)).astype(jnp.bfloat16)
+        kw = dict(dimension_numbers=(((1,), (1,)), ((), ())),
+                  preferred_element_type=jnp.float32,
+                  precision=lax.Precision.DEFAULT)
+        h = (lax.dot_general(hi_i, hi_j, **kw)
+             + lax.dot_general(hi_i, lo_j, **kw)
+             + lax.dot_general(lo_i, hi_j, **kw))
+    else:
+        h = lax.dot_general(Mi, Mj, **_DOT_KW)
+
+    @pl.when(g == 0)
+    def _():
+        h_ref[...] = h
+
+    @pl.when(g > 0)
+    def _():
+        h_ref[...] += h
+
+    @pl.when(is_diag & (g == 0))
+    def _():
+        j_ref[...] = jnp.zeros_like(j_ref)
+        d_ref[...] = jnp.zeros_like(d_ref)
+
+    @pl.when(is_diag)
+    def _():
+        jsum = jnp.concatenate(
+            [jnp.sum(jv[j], axis=1, keepdims=True) for j in range(6)],
+            axis=1)
+        dsum = jnp.concatenate(
+            [jnp.sum(D[a][b], axis=1, keepdims=True)
+             for a in range(6) for b in range(6)], axis=1)
+        j_ref[:, 0:6] += jsum
+        d_ref[:, 0:36] += dsum
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "split", "bw", "bg"))
+def hess_packed_v3(pose, mom, cen, aux, *, interpret: bool = False,
+                   split: str = "bf16x3", bw: int | None = None,
+                   bg: int | None = None):
+    """-> (Htilde (6Wp, 6Wp) in (w, j)-major order — same layout as
+    `hess_packed_xla` — J (Wp, LANES), D (Wp, LANES)).
+
+    Pose-block-pair grid with scalar-prefetched block indices; VMEM use
+    is independent of Wp, so this form scales to arbitrarily large dense
+    windows (v2 hits the scoped-VMEM wall at Wp ~ 680).  The lower
+    triangle of pose-block pairs saves ~2x MXU work vs a full 2-D grid;
+    the mirror blocks are one scatter + transpose in XLA.
+    """
+    import numpy as np
+
+    Wp, _, Gp = mom.shape
+    Bw = min(bw or BW_HESS3, Wp)
+    nB = -(-Wp // Bw)
+    WpB = nB * Bw
+    if WpB != Wp:
+        # zero-moment padding rows contribute exactly zero everywhere
+        pose = jnp.pad(pose, ((0, WpB - Wp), (0, 0)))
+        mom = jnp.pad(mom, ((0, WpB - Wp), (0, 0), (0, 0)))
+    if bg is None:
+        bg = BG_HESS3 if Gp % BG_HESS3 == 0 else BG_HESS
+    assert Gp % bg == 0 and Bw % 8 == 0
+    pairs = np.asarray(
+        [(i, j) for i in range(nB) for j in range(i + 1)], np.int32)
+    n_pairs = len(pairs)
+    blk = jnp.asarray(pairs)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pairs, Gp // bg),
+        in_specs=[
+            pl.BlockSpec((Bw, 12), lambda p, g, blk: (blk[p, 0], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bw, 12), lambda p, g, blk: (blk[p, 1], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bw, 10, bg), lambda p, g, blk: (blk[p, 0], 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bw, 10, bg), lambda p, g, blk: (blk[p, 1], 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, bg), lambda p, g, blk: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((AUX_CH, bg), lambda p, g, blk: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((6 * Bw, 6 * Bw), lambda p, g, blk: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bw, LANES), lambda p, g, blk: (blk[p, 0], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bw, LANES), lambda p, g, blk: (blk[p, 0], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((6 * Bw, 3 * bg), jnp.float32),
+            pltpu.VMEM((6 * Bw, 3 * bg), jnp.float32),
+        ],
+    )
+    Hblk, Jt, Dt = pl.pallas_call(
+        functools.partial(_hess_kernel_v3, split=split),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pairs * 6 * Bw, 6 * Bw), jnp.float32),
+            jax.ShapeDtypeStruct((WpB, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((WpB, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(blk, pose, pose, mom, mom, cen, aux)
+
+    # scatter pair blocks (and their mirrors) into the full matrix.
+    # Block content is (j, w)-major on both axes (aligned VMEM stores);
+    # the global transpose below lands everything (w, j)-major.
+    Hp = Hblk.reshape(n_pairs, 6, Bw, 6, Bw)
+    I, J = blk[:, 0], blk[:, 1]
+    Hb = jnp.zeros((nB, nB, 6, Bw, 6, Bw), jnp.float32)
+    Hb = Hb.at[I, J].set(Hp).at[J, I].set(Hp.transpose(0, 3, 4, 1, 2))
+    Hfull = Hb.transpose(0, 3, 2, 1, 5, 4).reshape(6 * WpB, 6 * WpB)
+    if WpB != Wp:
+        Hfull = Hfull.reshape(WpB, 6, WpB, 6)[:Wp, :, :Wp, :].reshape(
+            6 * Wp, 6 * Wp)
+        Jt, Dt = Jt[:Wp], Dt[:Wp]
+    return Hfull, Jt, Dt
+
+
+# --------------------------------------------------------------------------
 # XLA formulation of kernel B over the packed layout
 # --------------------------------------------------------------------------
 
@@ -788,25 +965,33 @@ def evaluate_packed(R, p, pk: PackedFactors, *, gap_eps: float = 1e-9,
     equality and the jax.hessian oracle).
 
     impl: 'xla' (production — the packed-channel formulation, ~13x the
-    Pallas kernel's throughput at realworld scale) or 'pallas' (the
+    Pallas kernel's throughput at realworld scale), 'pallas2' (fused
+    full-VMEM kernel, fastest device-side up to Wp ~ 256), 'pallas3'
+    (pose-block-pair grid — VMEM bounded at any Wp), or 'pallas' (the
     original fused kernel, kept as an independent implementation).
-    hess_precision: see hess_packed_xla (xla impl only).
+    hess_precision: see hess_packed_xla (xla/pallas3 impls).
     """
     W = R.shape[0]
     Wp = pk.wp
     if impl == "pallas2" and 2 * 36 * Wp * Wp * 4 > 100 * 1024 * 1024:
-        # the kernel's H window + dot accumulator alone would exceed the
-        # scoped-VMEM budget (Wp ~ 680+); the XLA formulation has no
-        # window-size limit
-        impl = "xla"
+        # the v2 kernel's H window + dot accumulator alone would exceed
+        # the scoped-VMEM budget (Wp ~ 680+); the blocked v3 grid is
+        # VMEM-bounded at any window size
+        impl = "pallas3"
     pose = pad_poses(R, p, Wp).astype(jnp.float32)
     with jax.default_matmul_precision("float32"):
         csum = csum_packed_xla(pose, pk.mom, pk.cen, pk.cfix)
         res, aux = _aux_from_csum(csum, pk, gap_eps)
         iw = jnp.arange(W)
-        if impl == "xla":
-            Ht, Jt, Dt = hess_packed_xla(pose, pk.mom, pk.cen, aux,
-                                         hess_precision=hess_precision)
+        if impl in ("xla", "pallas3"):
+            if impl == "pallas3":
+                split = ("f32" if hess_precision in
+                         (None, lax.Precision.HIGHEST) else "bf16x3")
+                Ht, Jt, Dt = hess_packed_v3(pose, pk.mom, pk.cen, aux,
+                                            interpret=interpret, split=split)
+            else:
+                Ht, Jt, Dt = hess_packed_xla(pose, pk.mom, pk.cen, aux,
+                                             hess_precision=hess_precision)
             # already (w,j)-major; crop padding, negate rank part
             H = -Ht.reshape(Wp, 6, Wp, 6)[:W, :, :W, :]
         else:

@@ -23,6 +23,7 @@ without pointers.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -71,6 +72,20 @@ def _project_so3(R: np.ndarray) -> np.ndarray:
     return U @ S @ Vt
 
 
+def _bucket_pow2(n: int, lo: int) -> int:
+    """Smallest power-of-two >= max(n, lo)."""
+    m = lo
+    while m < n:
+        m *= 2
+    return m
+
+
+def _insert_rows(arr: np.ndarray, ins: np.ndarray, rows: np.ndarray):
+    """np.insert for 2-D+ row blocks (positions refer to the ORIGINAL
+    array, matching np.insert's semantics for sorted merges)."""
+    return np.insert(arr, ins, rows, axis=0)
+
+
 def _pack_keys(ks: np.ndarray) -> np.ndarray:
     """(N, 3) int voxel coords -> packed int64 (21 bits/axis, offset).
 
@@ -105,10 +120,17 @@ class VoxelPlaneMap:
         self.ratio = ratio
         self.line_ratio = line_ratio    # 0 disables line landmarks
         self.min_points = min_points
-        self.C: Dict[int, np.ndarray] = {}      # packed key -> 4x4 moment
-        self.planes: Dict[int, Optional[np.ndarray]] = {}  # key -> (2,3)
-        self.lines: Dict[int, Optional[np.ndarray]] = {}   # key -> (2,3)
-        self._dirty: set = set()
+        # flat sorted-array store (the dict-of-4x4 form cost ~27 ms/scan
+        # in Python loop overhead at realworld scale): row i of every
+        # array describes voxel self.keys[i]
+        self.keys = np.zeros((0,), np.int64)      # sorted packed keys
+        self.C = np.zeros((0, 4, 4))              # per-voxel moment sums
+        self._landc = np.zeros((0, 3))            # plane/line center
+        self._landn = np.zeros((0, 3))            # plane normal
+        self._landd = np.zeros((0, 3))            # line direction
+        self._isplane = np.zeros((0,), bool)
+        self._isline = np.zeros((0,), bool)
+        self._dirty = np.zeros((0,), bool)
         self._table = None  # (sorted_keys (M,), centers (M,3), normals)
         self._ltable = None  # (sorted_keys (L,), centers (L,3), dirs (L,3))
 
@@ -124,13 +146,29 @@ class VoxelPlaneMap:
 
     def add(self, contrib, sign: float = 1.0):
         keys, sums = contrib
-        for key, s in zip(keys.tolist(), sums):
-            cur = self.C.get(key)
-            if cur is None:
-                self.C[key] = sign * s.copy()
-            else:
-                cur += sign * s
-            self._dirty.add(key)
+        if len(keys) == 0:
+            return
+        pos = np.searchsorted(self.keys, keys)
+        pos_c = np.clip(pos, 0, max(len(self.keys) - 1, 0))
+        hit = (self.keys[pos_c] == keys) if len(self.keys) else (
+            np.zeros(len(keys), bool))
+        new = ~hit
+        if new.any():
+            # merge-insert the new voxels, keeping the key array sorted
+            nk = keys[new]
+            ins = np.searchsorted(self.keys, nk)
+            M, K = len(self.keys), len(nk)
+            self.keys = np.insert(self.keys, ins, nk)
+            self.C = _insert_rows(self.C, ins, np.zeros((K, 4, 4)))
+            self._landc = _insert_rows(self._landc, ins, np.zeros((K, 3)))
+            self._landn = _insert_rows(self._landn, ins, np.zeros((K, 3)))
+            self._landd = _insert_rows(self._landd, ins, np.zeros((K, 3)))
+            self._isplane = np.insert(self._isplane, ins, False)
+            self._isline = np.insert(self._isline, ins, False)
+            self._dirty = np.insert(self._dirty, ins, False)
+            pos = np.searchsorted(self.keys, keys)
+        np.add.at(self.C, pos, sign * sums)
+        self._dirty[pos] = True
 
     def insert(self, world: np.ndarray):
         c = self.scan_contribution(world)
@@ -141,11 +179,11 @@ class VoxelPlaneMap:
         self.add(contrib, sign=-1.0)
 
     def _refresh_dirty(self):
-        keys = [k for k in self._dirty]
-        self._dirty.clear()
-        if not keys:
+        rows = np.nonzero(self._dirty)[0]
+        self._dirty[:] = False
+        if len(rows) == 0:
             return
-        Cs = np.stack([self.C[k] for k in keys])
+        Cs = self.C[rows]
         N = Cs[:, 3, 3]
         enough = N >= self.min_points
         vbar = Cs[:, :3, 3] / np.maximum(N, 1.0)[:, None]
@@ -166,32 +204,19 @@ class VoxelPlaneMap:
         # (balmclass.hpp's line correspondences; v1 edge landmarks)
         okl = enough & ~ok & (
             lam[:, 1] / np.maximum(lam[:, 2], 1e-30) < self.line_ratio)
-        for i, k in enumerate(keys):
-            self.planes[k] = (
-                np.stack([vbar[i], U[i][:, 0]]) if ok[i] else None)
-            self.lines[k] = (
-                np.stack([vbar[i], U[i][:, 2]]) if okl[i] else None)
-
-    @staticmethod
-    def _build_table(d):
-        items = [(k, v) for k, v in d.items() if v is not None]
-        items.sort(key=lambda kv: kv[0])
-        if items:
-            return (np.asarray([k for k, _ in items], np.int64),
-                    np.stack([v[0] for _, v in items]),
-                    np.stack([v[1] for _, v in items]))
-        return (np.zeros((0,), np.int64), np.zeros((0, 3)),
-                np.zeros((0, 3)))
+        self._isplane[rows] = ok
+        self._isline[rows] = okl
+        self._landc[rows] = vbar
+        self._landn[rows] = U[:, :, 0]
+        self._landd[rows] = U[:, :, 2]
 
     def _refresh_tables(self):
-        if self._dirty:
+        if self._dirty.any() or self._table is None:
             self._refresh_dirty()
-            self._table = self._build_table(self.planes)
-            self._ltable = self._build_table(self.lines)
-        if self._table is None:
-            self._table = self._build_table(self.planes)
-        if self._ltable is None:
-            self._ltable = self._build_table(self.lines)
+            m = self._isplane
+            self._table = (self.keys[m], self._landc[m], self._landn[m])
+            ml = self._isline
+            self._ltable = (self.keys[ml], self._landc[ml], self._landd[ml])
 
     def plane_table(self):
         """-> (sorted packed keys (M,), centers (M,3), normals (M,3))."""
@@ -257,68 +282,93 @@ class VoxelPlaneMap:
         return self._lookup_in(self.line_table()[0], world, self.vs)
 
 
-@jax.jit
-def _gn_point_to_plane(R, p, pts, normals, centers, wgt):
-    """One Gauss-Newton step on sum wgt (n . (R x + p - c))^2."""
-    with jax.default_matmul_precision("float32"):
-        return _gn_step(R, p, pts, normals, centers, wgt)
-
-
-def _gn_step(R, p, pts, normals, centers, wgt):
+def _plane_terms(R, p, pts, normals, centers, wgt):
+    """Weighted point-to-plane normal equations: (H (6,6), g (6,), cost)."""
     x = pts @ R.T + p
     r = jnp.sum(normals * (x - centers), axis=-1)
     # left-perturbation jacobian rows: [x cross n ; n]
-    Jw = jnp.cross(x, normals)
-    J = jnp.concatenate([Jw, normals], axis=-1)          # (M, 6)
+    J = jnp.concatenate([jnp.cross(x, normals), normals], axis=-1)  # (M, 6)
     Jw_ = J * wgt[:, None]
-    H = Jw_.T @ J
-    g = Jw_.T @ r
-    dx = jnp.linalg.solve(H + 1e-6 * jnp.eye(6), -g)
+    return Jw_.T @ J, Jw_.T @ r, jnp.sum(wgt * r * r)
+
+
+def _line_terms(R, p, lpts, ldirs, lcents, lwgt):
+    """Point-to-LINE normal equations (the reference's odometry handles
+    both correspondence types, balmclass.hpp:1069-1231):
+        E = sum w_l |P_perp (Rx+p-c)|^2,  P_perp = I - d d^T.
+    """
+    xl = lpts @ R.T + p
+    e0 = xl - lcents
+    proj = jnp.sum(ldirs * e0, axis=-1)
+    e = e0 - ldirs * proj[:, None]                       # (L, 3)
+    eye3 = jnp.eye(3, dtype=R.dtype)
+    A = eye3 - ldirs[:, :, None] * ldirs[:, None, :]     # (L, 3, 3)
+    hatx = lie.hat(xl)
+    Jl = jnp.concatenate(
+        [-jnp.einsum("lab,lbc->lac", A, hatx), A], axis=-1)  # (L,3,6)
+    H = jnp.einsum("l,lai,laj->ij", lwgt, Jl, Jl)
+    g = jnp.einsum("l,lai,la->i", lwgt, Jl, e)
+    return H, g, jnp.sum(lwgt * jnp.sum(e * e, axis=-1))
+
+
+def _apply_step(R, p, H, g):
+    dx = jnp.linalg.solve(H + 1e-6 * jnp.eye(6, dtype=H.dtype), -g)
     # trust gate: a degenerate/starved correspondence set must not emit a
     # NaN or runaway step (a huge-but-FINITE dx overflows f64 within a few
     # constant-motion extrapolations downstream) — skip the step instead
     ok = jnp.all(jnp.isfinite(dx)) & (jnp.linalg.norm(dx) < 1.0)
     dx = jnp.where(ok, dx, jnp.zeros_like(dx))
-    Rn, pn = lie.se3_left_update(R, p, dx)
-    cost = jnp.sum(wgt * r * r)
-    return Rn, pn, cost
+    return lie.se3_left_update(R, p, dx)
 
 
-@jax.jit
-def _gn_mixed(R, p, pts, normals, centers, wgt, lpts, ldirs, lcents, lwgt):
-    """One GN step on plane + LINE residuals (the reference's odometry
-    handles both correspondence types, balmclass.hpp:1069-1231):
+def _huber_w(r, huber):
+    return jnp.where(jnp.abs(r) < huber, 1.0,
+                     huber / jnp.maximum(jnp.abs(r), 1e-12))
 
-        E = sum w_p (n.(Rx+p-c))^2 + sum w_l |P_perp (Rx+p-c)|^2,
-        P_perp = I - d d^T.
-    """
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _gn_plane_fused(R, p, pts, normals, centers, mask, huber, *, iters):
+    """The whole IRLS registration inner loop (reweight + GN step, x
+    `iters`) as ONE dispatch.  The host-stepped version cost ~12 eager
+    dispatches + reweight round-trips per association pass; fused, a
+    scan registration is 2 dispatches total (one per association pass).
+    Semantics identical: weights from residuals at the CURRENT pose,
+    then one GN step with those weights."""
     with jax.default_matmul_precision("float32"):
-        x = pts @ R.T + p
-        r = jnp.sum(normals * (x - centers), axis=-1)
-        J = jnp.concatenate([jnp.cross(x, normals), normals], axis=-1)
-        Jw_ = J * wgt[:, None]
-        H = Jw_.T @ J
-        g = Jw_.T @ r
-        cost = jnp.sum(wgt * r * r)
+        def body(_, c):
+            R, p, _ = c
+            x = pts @ R.T + p
+            r = jnp.sum(normals * (x - centers), axis=-1)
+            w = mask * _huber_w(r, huber)
+            H, g, cost = _plane_terms(R, p, pts, normals, centers, w)
+            Rn, pn = _apply_step(R, p, H, g)
+            return Rn, pn, cost
 
-        xl = lpts @ R.T + p
-        e0 = xl - lcents
-        proj = jnp.sum(ldirs * e0, axis=-1)
-        e = e0 - ldirs * proj[:, None]                   # (L, 3)
-        eye3 = jnp.eye(3, dtype=R.dtype)
-        A = eye3 - ldirs[:, :, None] * ldirs[:, None, :]  # (L, 3, 3)
-        hatx = lie.hat(xl)
-        Jl = jnp.concatenate(
-            [-jnp.einsum("lab,lbc->lac", A, hatx), A], axis=-1)  # (L,3,6)
-        H = H + jnp.einsum("l,lai,laj->ij", lwgt, Jl, Jl)
-        g = g + jnp.einsum("l,lai,la->i", lwgt, Jl, e)
-        cost = cost + jnp.sum(lwgt * jnp.sum(e * e, axis=-1))
+        return jax.lax.fori_loop(0, iters, body, (R, p, jnp.zeros(())))
 
-        dx = jnp.linalg.solve(H + 1e-6 * jnp.eye(6), -g)
-        ok = jnp.all(jnp.isfinite(dx)) & (jnp.linalg.norm(dx) < 1.0)
-        dx = jnp.where(ok, dx, jnp.zeros_like(dx))
-        Rn, pn = lie.se3_left_update(R, p, dx)
-        return Rn, pn, cost
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _gn_mixed_fused(R, p, pts, normals, centers, mask, lpts, ldirs, lcents,
+                    lmask, huber, *, iters):
+    """Fused IRLS loop over plane + line residuals (one dispatch)."""
+    with jax.default_matmul_precision("float32"):
+        def body(_, c):
+            R, p, _ = c
+            x = pts @ R.T + p
+            r = jnp.sum(normals * (x - centers), axis=-1)
+            w = mask * _huber_w(r, huber)
+            xl = lpts @ R.T + p
+            e0 = xl - lcents
+            el = jnp.linalg.norm(
+                e0 - ldirs * jnp.sum(ldirs * e0, -1, keepdims=True),
+                axis=-1)
+            wl = lmask * _huber_w(el, huber)
+            Hp, gp, cp = _plane_terms(R, p, pts, normals, centers, w)
+            Hl, gl, cl = _line_terms(R, p, lpts, ldirs, lcents, wl)
+            Rn, pn = _apply_step(R, p, Hp + Hl, gp + gl)
+            return Rn, pn, cp + cl
+
+        return jax.lax.fori_loop(0, iters, body, (R, p, jnp.zeros(())))
 
 
 def register_scan(scan: np.ndarray, R0, p0, vmap: VoxelPlaneMap,
@@ -352,8 +402,11 @@ def register_scan(scan: np.ndarray, R0, p0, vmap: VoxelPlaneMap,
         # bucket-pad the correspondence arrays: every distinct row count
         # is a fresh jit compile of the GN kernels (profiled: 918 XLA
         # compiles = 58 of 99 s over 29 scans).  Padding normals/weights
-        # with zeros nullifies the extra rows exactly.
-        m = max(1024, -(-n_used // 1024) * 1024)
+        # with zeros nullifies the extra rows exactly.  Power-of-two
+        # buckets: the plane x line shape PAIRS are what the mixed kernel
+        # retraces on, so coarse buckets shrink the pair space
+        # quadratically (a few % padded FLOPs on cheap elementwise work)
+        m = _bucket_pow2(n_used, 1024)
         P = np.zeros((m, 3)); P[:n_used] = pts[sel]
         Nn = np.zeros((m, 3)); Nn[:n_used] = norms[rows[sel]]
         Cc = np.zeros((m, 3)); Cc[:n_used] = cents[rows[sel]]
@@ -364,7 +417,7 @@ def register_scan(scan: np.ndarray, R0, p0, vmap: VoxelPlaneMap,
             lrows = vmap.lookup_lines(world)
             lsel = lrows >= 0
             nl = int(lsel.sum())
-            ml = max(256, -(-max(nl, 1) // 256) * 256)
+            ml = _bucket_pow2(max(nl, 1), 256)
             Pl = np.zeros((ml, 3)); Pl[:nl] = pts[lsel].reshape(-1, 3)
             Dl = np.tile(np.array([0.0, 0.0, 1.0]), (ml, 1))
             Dl[:nl] = ldirs[lrows[lsel]].reshape(-1, 3)
@@ -373,22 +426,15 @@ def register_scan(scan: np.ndarray, R0, p0, vmap: VoxelPlaneMap,
             Pl, Dl, Cl = jnp.asarray(Pl), jnp.asarray(Dl), jnp.asarray(Cl)
             lmask = jnp.asarray(lmask)
             n_used += nl
-        for _ in range(cfg.reg_iters):
-            # huber-style reweighting on current residuals
-            x = P @ R.T + p
-            r = jnp.sum(Nn * (x - Cc), axis=-1)
-            w = mask * jnp.where(jnp.abs(r) < cfg.huber, 1.0,
-                                 cfg.huber / jnp.maximum(jnp.abs(r), 1e-12))
-            if use_lines:
-                xl = Pl @ R.T + p
-                e0 = xl - Cl
-                el = jnp.linalg.norm(
-                    e0 - Dl * jnp.sum(Dl * e0, -1, keepdims=True), axis=-1)
-                wl = lmask * jnp.where(el < cfg.huber, 1.0,
-                                       cfg.huber / jnp.maximum(el, 1e-12))
-                R, p, cost = _gn_mixed(R, p, P, Nn, Cc, w, Pl, Dl, Cl, wl)
-            else:
-                R, p, cost = _gn_point_to_plane(R, p, P, Nn, Cc, w)
+        # IRLS (reweight + GN) fused into one dispatch per association
+        # pass — the host-stepped loop paid ~12 dispatch round-trips here
+        if use_lines:
+            R, p, cost = _gn_mixed_fused(
+                R, p, P, Nn, Cc, mask, Pl, Dl, Cl, lmask, cfg.huber,
+                iters=cfg.reg_iters)
+        else:
+            R, p, cost = _gn_plane_fused(
+                R, p, P, Nn, Cc, mask, cfg.huber, iters=cfg.reg_iters)
     R = np.asarray(R)
     p = np.asarray(p)
     # registration sanity: non-finite, or total correction beyond what a

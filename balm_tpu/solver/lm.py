@@ -97,11 +97,14 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
     (6-pass exact f32), or 'bf16' (1-pass, ~1e-4 relerr).  J and the
     residual always use exact-f32 channel sums.
     packed_impl (packed backend only): 'xla' (channel formulation, the
-    default) or 'pallas2' (the fused VMEM-rows kernel).  pallas2 is
-    ~1.5x faster DEVICE-side (2.2 vs 3.2 ms/evaluate at realworld
-    scale) but the axon tunnel charges Mosaic-bearing executables an
-    extra ~20 ms per dispatch, which outweighs the kernel win for the
-    whole fused loop there; co-located TPUs should prefer 'pallas2'.
+    default), 'pallas2' (the fused VMEM-rows kernel), or 'pallas3' (the
+    pose-block-pair grid — VMEM bounded at ANY window size; pallas2
+    auto-upgrades to it past Wp ~ 680).  The fused kernels are ~1.3-1.5x
+    faster DEVICE-side (e.g. 8.2/9.0 vs 12.1 ms/evaluate at W=512,
+    artifacts/tpu_dense_scale.json) but the axon tunnel charges
+    Mosaic-bearing executables an extra ~20 ms per dispatch, which
+    outweighs the kernel win for the whole fused loop there; co-located
+    TPUs should prefer the fused kernels.
     """
     if update == "right" and centered:
         raise ValueError("right update requires centered=False")

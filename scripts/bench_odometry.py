@@ -25,6 +25,10 @@ import jax  # noqa: E402
 if __name__ == "__main__":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -46,14 +50,36 @@ def main(max_scans=100):
           f"(~{n_pts//len(scans)}/scan after 0.4 m downsample)", flush=True)
 
     ocfg = odometry.OdometryConfig()
-    # warm the jitted GN kernels on a prefix so compile time is not
-    # charged to the steady-state throughput figure
-    odometry.run(scans[:8], ocfg)
+    # warm the jitted kernels on a prefix so compile time is not charged
+    # to the steady-state throughput figure.  The prefix must reach past
+    # the first window BA (scan index window-1) or the LM solver's
+    # multi-second compile lands INSIDE the timed region (profiled: 28 s
+    # of the 37 s "throughput" run was jit compile/trace before this fix)
+    odometry.run(scans[:ocfg.window + ocfg.ba_every + 2], ocfg)
+    # ... and the window-BA solver's OTHER plane bucket (the voxelizer
+    # pads plane counts to 512-multiples; a window crossing 512 planes
+    # mid-run would otherwise charge a ~2 s jit trace to the throughput)
+    from balm_tpu.ops import factors as Fmod
+    for Gb in (512, 1024):
+        C = jnp.zeros((Gb, ocfg.window, 4, 4)).at[:, :, 3, 3].set(5.0)
+        C = C.at[:, :, 0, 0].set(1.0).at[:, :, 1, 1].set(1.0)
+        fj = Fmod.PlaneFactors.create(C)
+        odometry.lm.damping_iter(
+            jnp.tile(jnp.eye(3), (ocfg.window, 1, 1)),
+            jnp.zeros((ocfg.window, 3)), fj, ocfg.ba_solver)
 
     t0 = time.perf_counter()
     R, p, info = odometry.run(scans, ocfg)
     dt = time.perf_counter() - t0
     sps = len(scans) / dt
+
+    # healthy-prefix figure: tracking diverges past ~35 scans on this
+    # keyframe dataset (see note below) and degenerate windows are
+    # artificially cheap — report the tracked-regime throughput too
+    nh = min(35, len(scans))
+    t0 = time.perf_counter()
+    odometry.run(scans[:nh], ocfg)
+    sps_healthy = nh / (time.perf_counter() - t0)
 
     # drift vs the dataset's reference trajectory (odometry alone, no
     # global BA: expect meter-level tail drift, NOT parity)
@@ -67,6 +93,7 @@ def main(max_scans=100):
         "points": n_pts,
         "total_s": round(dt, 2),
         "scans_per_sec": round(sps, 2),
+        "scans_per_sec_healthy35": round(sps_healthy, 2),
         "points_per_sec": round(n_pts / dt, 0),
         "window_ba_runs": info["ba_runs"],
         "drift_vs_ref_deg_m": [float(rot) * 57.3, float(tra)],

@@ -106,7 +106,7 @@ if __name__ == "__main__":
 
         rec = {"W": W, "Wp": Wp, "planes": G, "Gp": Gp}
         with jax.default_matmul_precision("float32"):
-            for impl in ("xla", "pallas2"):
+            for impl in ("xla", "pallas2", "pallas3"):
                 def ev(Rc, pc, impl=impl):
                     return pe.evaluate_packed(
                         Rc, pc, pkf, impl=impl,

@@ -69,16 +69,20 @@ def test_incremental_map_equals_batch_rebuild():
         inc.remove(contribs[i])
         inc.insert(scans[i] @ R[i].T + p[i])
 
-    assert set(k for k, C in ref.C.items() if C[3, 3] > 0.5) == set(
-        k for k, C in inc.C.items() if C[3, 3] > 0.5)
-    for k, C in ref.C.items():
-        if C[3, 3] > 0.5:
-            assert np.allclose(C, inc.C[k], atol=1e-6 * max(C[3, 3], 1.0))
+    refN = ref.C[:, 3, 3]
+    incN = inc.C[:, 3, 3]
+    assert set(ref.keys[refN > 0.5].tolist()) == set(
+        inc.keys[incN > 0.5].tolist())
+    live = np.nonzero(refN > 0.5)[0]
+    pos = np.searchsorted(inc.keys, ref.keys[live])
+    for i, j in zip(live, pos):
+        assert np.allclose(ref.C[i], inc.C[j],
+                           atol=1e-6 * max(ref.C[i, 3, 3], 1.0))
 
     k0, c0, n0 = ref.plane_table()
     k1, c1, n1 = inc.plane_table()
     # drop voxels that cancelled to zero in the incremental map
-    keep = [i for i, k in enumerate(k1) if inc.C[int(k)][3, 3] > 0.5]
+    keep = inc.C[np.searchsorted(inc.keys, k1), 3, 3] > 0.5
     assert np.array_equal(k0, k1[keep])
     assert np.allclose(c0, c1[keep], atol=1e-8)
 

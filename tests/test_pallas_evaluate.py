@@ -137,6 +137,47 @@ def test_evaluate_packed_pallas2_matches_xla():
     assert float(jnp.max(jnp.abs(ra[2] - rb[2]))) < 1e-4 * hs
 
 
+@pytest.mark.parametrize("bw", [8, 16])
+def test_hess_packed_v3_matches_xla_multiblock(bw):
+    """The blocked pose-pair grid (v3) vs the XLA formulation with the
+    window split across several pose blocks — bw=8 tiles Wp=24 exactly
+    (3 blocks, 6 pairs); bw=16 exercises the ragged-final-block padding
+    path (WpB=32 > Wp=24)."""
+    R32, p32, f32, packed, fr, R, p = _packed_problem(
+        seed=31, G=12, W=20, sparse_obs=True, with_fix=True)
+    pose = pk.pad_poses(R32, p32, packed.wp).astype(jnp.float32)
+    csum = pe.csum_packed_xla(pose, packed.mom, packed.cen, packed.cfix)
+    _, aux = pe._aux_from_csum(csum, packed, 1e-9)
+    Ha, Ja, Da = pe.hess_packed_xla(pose, packed.mom, packed.cen, aux)
+    Hb, Jb, Db = pe.hess_packed_v3(pose, packed.mom, packed.cen, aux,
+                                   interpret=True, split="f32",
+                                   bw=bw, bg=128)
+    # J/D accumulate per plane TILE (vs one full-axis sum in the XLA
+    # form); the sum has real cancellation, so the split reduction order
+    # shows up at ~1e-4 relative — same bound as the v2 kernel tests
+    hs = float(jnp.max(jnp.abs(Ha))) + 1e-12
+    assert float(jnp.max(jnp.abs(Ha - Hb))) < 1e-5 * hs
+    js = float(jnp.max(jnp.abs(Ja))) + 1e-12
+    assert float(jnp.max(jnp.abs(Ja - Jb[:, :6]))) < 1e-4 * js
+    ds = float(jnp.max(jnp.abs(Da))) + 1e-12
+    assert float(jnp.max(jnp.abs(Da - Db[:, :36]))) < 1e-4 * ds
+
+
+def test_evaluate_packed_pallas3_matches_xla():
+    """End-to-end evaluate with the v3 blocked kernel (single-block grid
+    at this size — the multi-block case is covered above)."""
+    R32, p32, f32, packed, fr, R, p = _packed_problem(
+        seed=8, sparse_obs=True, with_fix=True)
+    ra = pe.evaluate_packed(R32, p32, packed, impl="xla")
+    rb = pe.evaluate_packed(R32, p32, packed, impl="pallas3",
+                            interpret=True)
+    assert abs(float(ra[0]) - float(rb[0])) < 1e-6 * abs(float(ra[0]))
+    js = float(jnp.max(jnp.abs(ra[1]))) + 1e-12
+    assert float(jnp.max(jnp.abs(ra[1] - rb[1]))) < 1e-4 * js
+    hs = float(jnp.max(jnp.abs(ra[2]))) + 1e-12
+    assert float(jnp.max(jnp.abs(ra[2] - rb[2]))) < 1e-4 * hs
+
+
 def test_lm_backend_pallas_matches_xla():
     from balm_tpu.config import SolverConfig
     from balm_tpu.solver import lm
