@@ -69,10 +69,16 @@ def evaluate(R, p, f: PointPlanes):
 _residual_jit = jax.jit(residual)
 
 
-def damping_iter(R, p, f: PointPlanes, max_iters=20, u=0.1, rel_tol=1e-6):
+def damping_iter(R, p, f: PointPlanes, max_iters=20, u=0.1, rel_tol=1e-6,
+                 trace=None):
     """Plain (host-loop) LM on the per-point cost — the baseline solver.
     Deliberately unoptimized: it exists to measure the cluster kernels
-    against, like the reference's compare_test drivers."""
+    against, like the reference's compare_test drivers.
+
+    trace: optional list — (perf_counter timestamp, R, p) appended on
+    each accepted iteration (Supplementary convergence-curve protocol)."""
+    import time as _time
+
     import numpy as np
 
     v = 2.0
@@ -86,6 +92,9 @@ def damping_iter(R, p, f: PointPlanes, max_iters=20, u=0.1, rel_tol=1e-6):
         gain = float(res1 - res2)
         if gain > 0:
             R, p = Rt, pt
+            if trace is not None:
+                trace.append((_time.perf_counter(), np.asarray(R),
+                              np.asarray(p)))
             q1 = 0.5 * float(jnp.dot(dx, u * jnp.diag(H) * dx - J))
             rho = gain / q1
             u *= max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)

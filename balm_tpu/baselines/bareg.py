@@ -79,11 +79,15 @@ def _pose_cost(theta, n_g, mu_g, mu, sw_t, sw_r, axes, W):
 
 def solve(R0, p0, f: Fmod.PlaneFactors, *, outer_iters: int = 100,
           inner_iters: int = 100, u_init: float = 1e-4,
-          dx_tol: float = 1e-6):
+          dx_tol: float = 1e-6, trace=None):
     """BAREG alternation. Returns (R, p, cost, total_inner_iters).
 
     f must hold RAW (uncentered) body moments.
+    trace: optional list — (perf_counter timestamp, theta) appended on
+    each accepted inner iteration; theta[:3W]/[3W:] recover (rot vecs,
+    pos) outside the timed region (Supplementary curve protocol).
     """
+    import time as _time
     W = R0.shape[0]
     mu, sw_t, sw_r, axes, N = cluster_stats(f)
     # zero clusters contribute nothing
@@ -127,6 +131,8 @@ def solve(R0, p0, f: Fmod.PlaneFactors, *, outer_iters: int = 100,
                 rel = abs(c0 - c1) / max(c0, 1e-30)
                 theta = trial
                 c0 = c1
+                if trace is not None:
+                    trace.append((_time.perf_counter(), np.asarray(theta)))
                 u = max(u / 3.0, 1e-12)
                 v = 2.0
                 if rel < 1e-10:

@@ -23,8 +23,15 @@ _res = jax.jit(lambda T, f: Fmod.residual_only(T, f))
 
 
 def descend(R, p, f: Fmod.PlaneFactors, *, max_iters=200, alpha=1.0,
-            halvings=12, rel_tol=1e-8):
-    """Gradient descent with backtracking. Returns (R, p, residual, iters)."""
+            halvings=12, rel_tol=1e-8, trace=None):
+    """Gradient descent with backtracking. Returns (R, p, residual, iters).
+
+    trace: optional list — on each ACCEPTED iteration, (perf_counter
+    timestamp, R, p) is appended (the Supplementary 'time cost'
+    convergence-curve protocol, Supplementary/data/readme.txt)."""
+    import time as _time
+    import numpy as _np
+
     T = lie.pose_matrix(R, p)
     res1, J, _ = _eval(T, f)
     npts = jnp.maximum(jnp.sum(f.C[..., 3, 3]), 1.0)
@@ -43,6 +50,9 @@ def descend(R, p, f: Fmod.PlaneFactors, *, max_iters=200, alpha=1.0,
         if not accepted:
             break
         R, p = Rt, pt
+        if trace is not None:
+            trace.append((_time.perf_counter(), _np.asarray(R),
+                          _np.asarray(p)))
         if (float(res1) - res2) / max(float(res1), 1e-30) < rel_tol:
             res1 = res2
             break

@@ -66,11 +66,17 @@ def _cost(theta, M, W, G):
 
 
 def solve(R0, p0, f: Fmod.PlaneFactors, *, max_iters: int = 100,
-          u_init: float = 1e-4, ftol: float = 1e-10):
+          u_init: float = 1e-4, ftol: float = 1e-10, trace=None):
     """Joint damped-Newton PA. Returns (R, p, cost, iters).
 
     f must hold RAW (uncentered) body moments — f.C IS the M matrix.
+    trace: optional list — (perf_counter timestamp, theta) appended on
+    each accepted iteration; theta[:3W]/[3W:6W] recover (rot vecs, pos)
+    outside the timed region (Supplementary convergence-curve protocol).
     """
+    import time as _time
+
+    import numpy as _np
     W = R0.shape[0]
     G = f.num_planes
     M = f.C
@@ -100,6 +106,8 @@ def solve(R0, p0, f: Fmod.PlaneFactors, *, max_iters: int = 100,
             rel = abs(c0 - c1) / max(c0, 1e-30)
             theta = trial
             c0 = c1
+            if trace is not None:
+                trace.append((_time.perf_counter(), _np.asarray(theta)))
             u = max(u / 3.0, 1e-12)
             v = 2.0
             if rel < ftol:

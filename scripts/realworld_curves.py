@@ -1,0 +1,221 @@
+"""All-method convergence curves on real data, Supplementary format.
+
+Reproduces the reference paper's method-comparison protocol
+(Supplementary/data/readme.txt: per method, one file of
+"cumulative_time(s) cost" per accepted iteration; 0=EF, 1=BALM1, 2=PA,
+3=BAREG, 4=BALM2, 5=BALM2-f32) on the one dataset shipped with the
+reference — benchmark_realworld — since the hilti/viral/urbanloco point
+clouds themselves are not in the repo (SURVEY.md section 6a).
+
+Protocol notes (honesty caveats, also written into the JSON summary):
+  * every method runs the SAME sub-problem: the top `top_g` planes (by
+    point-count weight) of the first `max_scans` scans.  The cap exists
+    because the reference-faithful PA baseline optimizes poses AND
+    explicit planes jointly (6W + 3G parameters) with a dense Newton
+    system — the reference used Ceres dense Schur; at 5529 planes the
+    joint dense Hessian is not a sane comparison on any backend.  Even
+    capped, this is ~10x the scale of the reference's own compare_test
+    (6 poses x 12 planes).
+  * the plotted cost is the COMMON cluster cost sum_g coe_g lambda_0
+    (the reference's "total point-to-plane cost"), evaluated at each
+    method's traced pose iterates OUTSIDE its timed loop.  For PA this
+    scores poses with planes eliminated (its own running plane estimate
+    lags), which flatters PA slightly — acceptable, and identical in
+    kind to the reference's protocol.
+  * BALM1 optimizes the per-point cost on at most `k_cap` points per
+    (plane, scan) cluster (dense (G, W, K, 3) padding; overflow is
+    uniformly subsampled) but is SCORED on the full common cost.
+  * all methods run on the host CPU in f64 (the reference's hardware
+    class); the BALM2-f32 row is the f32 build equivalent, same CPU.
+
+Usage: python scripts/realworld_curves.py [max_scans] [top_g]
+Produces artifacts/realworld_curves/{0..5}.txt + summary.json.
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+
+if __name__ == "__main__":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from balm_tpu.baselines import balm1, bareg, ef, pa_whitened  # noqa: E402
+from balm_tpu.config import SolverConfig  # noqa: E402
+from balm_tpu.ops import factors as Fmod  # noqa: E402
+from balm_tpu.ops import lie  # noqa: E402
+from balm_tpu.pipelines import realworld  # noqa: E402
+from balm_tpu.solver import lm  # noqa: E402
+from balm_tpu.voxel import grid  # noqa: E402
+
+
+def build_problem(max_scans=30, top_g=512, k_cap=128, seed=0):
+    cfg = realworld.RealworldConfig(max_scans=max_scans)
+    R, p, scans = realworld.load(cfg)
+    vres = grid.voxelize(scans, R, p, cfg.voxel, dtype=np.float64)
+    f = vres.factors
+    G = vres.num_planes
+    top_g = min(top_g, G)
+    order = np.argsort(-np.asarray(f.coe[:G]))[:top_g]
+    f_raw = Fmod.PlaneFactors(
+        C=np.asarray(f.C)[order], Cfix=np.asarray(f.Cfix)[order],
+        coe=np.asarray(f.coe)[order], centers=np.asarray(f.centers)[order],
+        body_centers=np.asarray(f.body_centers)[order])
+
+    # per-(plane, scan) raw points for BALM1, capped at k_cap
+    body = np.concatenate(scans)
+    sel = np.isin(vres.point_leaf, order)
+    leaf2row = np.full(G, -1, np.int64)
+    leaf2row[order] = np.arange(top_g)
+    rows = leaf2row[vres.point_leaf[sel]]
+    sids = vres.point_scan[sel]
+    pts = body[sel]
+    W = len(scans)
+    key = rows * W + sids
+    ksort = np.argsort(key, kind="stable")
+    key, rows, sids, pts = key[ksort], rows[ksort], sids[ksort], pts[ksort]
+    # position within each (plane, scan) bucket
+    uniq, start = np.unique(key, return_index=True)
+    within = np.arange(len(key)) - np.repeat(start, np.diff(
+        np.append(start, len(key))))
+    # subsample overflow uniformly (deterministic)
+    rng = np.random.default_rng(seed)
+    keep = within < k_cap
+    n_over = int((~keep).sum())
+    pts_k = np.zeros((top_g, W, k_cap, 3))
+    mask = np.zeros((top_g, W, k_cap))
+    pts_k[rows[keep], sids[keep], within[keep]] = pts[keep]
+    mask[rows[keep], sids[keep], within[keep]] = 1.0
+    pf = balm1.PointPlanes(points=jnp.asarray(pts_k),
+                           mask=jnp.asarray(mask),
+                           coe=jnp.asarray(f_raw.coe))
+    return R, p, scans, f_raw, pf, n_over, top_g, G
+
+
+def main(max_scans=30, top_g=512):
+    R0, p0, scans, f_raw, pf, n_over, Gs, Gfull = build_problem(
+        max_scans, top_g)
+    W = len(scans)
+    f_cen = Fmod.recenter_bodies(f_raw)
+    R0j = jnp.asarray(R0)
+    p0j = jnp.asarray(p0)
+
+    score = jax.jit(lambda R, p: Fmod.residual_only(
+        lie.pose_matrix(R, p), f_cen, centered=True))
+    c_init = float(score(R0j, p0j))
+    print(f"W={W} G={Gs}/{Gfull} balm1 overflow pts dropped={n_over} "
+          f"initial common cost {c_init:.3f}", flush=True)
+
+    outdir = (pathlib.Path(__file__).resolve().parents[1]
+              / "artifacts" / "realworld_curves")
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    def write_curve(idx, t0, entries, label):
+        """entries: list of (abs_time, R, p) or (abs_time, theta)."""
+        pts = [(0.0, c_init)]
+        for e in entries:
+            t = e[0] - t0
+            if len(e) == 3:
+                Rr, pr = jnp.asarray(e[1]), jnp.asarray(e[2])
+            else:
+                th = e[1]
+                Rr = lie.so3_exp(jnp.asarray(th[:3 * W].reshape(W, 3)))
+                pr = jnp.asarray(th[3 * W:6 * W].reshape(W, 3))
+            pts.append((t, float(score(Rr, pr))))
+        with open(outdir / f"{idx}.txt", "w") as fh:
+            for t, c in pts:
+                fh.write(f"{t:.4f} {c:.6f}\n")
+        print(f"{label:12s} final {pts[-1][1]:10.3f} @ {pts[-1][0]:8.2f} s "
+              f"({len(pts) - 1} accepted iters)", flush=True)
+        return {"label": label, "final_cost": pts[-1][1],
+                "total_time_s": pts[-1][0], "accepted_iters": len(pts) - 1}
+
+    summary = {"W": W, "planes": Gs, "planes_full_problem": Gfull,
+               "initial_cost": c_init,
+               "balm1_overflow_points_dropped": n_over,
+               "protocol": "see scripts/realworld_curves.py docstring",
+               "methods": {}}
+
+    # 0 = EF
+    tr = []
+    t0 = time.perf_counter()
+    ef.descend(R0j, p0j, f_raw, max_iters=400, trace=tr)
+    summary["methods"]["0_ef"] = write_curve(0, t0, tr, "EF")
+
+    # 1 = BALM1 (per-point, k-capped)
+    tr = []
+    t0 = time.perf_counter()
+    balm1.damping_iter(R0j, p0j, pf, max_iters=60, trace=tr)
+    summary["methods"]["1_balm1"] = write_curve(1, t0, tr, "BALM1")
+
+    # 2 = PA (reference algorithm: joint poses + pi planes)
+    tr = []
+    t0 = time.perf_counter()
+    pa_whitened.solve(R0, p0, f_raw, max_iters=80, trace=tr)
+    summary["methods"]["2_pa"] = write_curve(2, t0, tr, "PA")
+
+    # 3 = BAREG
+    tr = []
+    t0 = time.perf_counter()
+    bareg.solve(R0, p0, f_raw, outer_iters=40, trace=tr)
+    summary["methods"]["3_bareg"] = write_curve(3, t0, tr, "BAREG")
+
+    # 4 = BALM2 (f64) — honest per-iteration timestamps
+    scfg = SolverConfig(max_iters=30, rel_tol=1e-10, min_planes_per_pose=0)
+    res_t, t_iter = lm.damping_iter_timed(R0j, p0j, f_cen, scfg,
+                                          centered=True)
+    n = int(res_t.iters)
+    acc = np.array(res_t.trace_accept)[:n] > 0.5
+    costs = np.array(res_t.trace_res2)[:n][acc]
+    ts = np.asarray(t_iter)[:n][acc]
+    with open(outdir / "4.txt", "w") as fh:
+        fh.write(f"0.0 {c_init:.6f}\n")
+        for tk, c in zip(ts, costs):
+            fh.write(f"{tk:.4f} {c:.6f}\n")
+    summary["methods"]["4_balm2"] = {
+        "label": "BALM2", "final_cost": float(costs[-1]),
+        "total_time_s": float(ts[-1]), "accepted_iters": int(acc.sum())}
+    print(f"{'BALM2':12s} final {costs[-1]:10.3f} @ {ts[-1]:8.2f} s "
+          f"({int(acc.sum())} accepted iters)", flush=True)
+
+    # 5 = BALM2 (f32 build equivalent, same CPU)
+    f32 = f_cen.astype(jnp.float32)
+    res_t, t_iter = lm.damping_iter_timed(
+        R0j.astype(jnp.float32), p0j.astype(jnp.float32), f32, scfg,
+        centered=True)
+    n = int(res_t.iters)
+    acc = np.array(res_t.trace_accept)[:n] > 0.5
+    costs = np.array(res_t.trace_res2)[:n][acc]
+    ts = np.asarray(t_iter)[:n][acc]
+    with open(outdir / "5.txt", "w") as fh:
+        fh.write(f"0.0 {c_init:.6f}\n")
+        for tk, c in zip(ts, costs):
+            fh.write(f"{tk:.4f} {c:.6f}\n")
+    summary["methods"]["5_balm2_f32"] = {
+        "label": "BALM2-f32", "final_cost": float(costs[-1]),
+        "total_time_s": float(ts[-1]), "accepted_iters": int(acc.sum())}
+    print(f"{'BALM2-f32':12s} final {costs[-1]:10.3f} @ {ts[-1]:8.2f} s "
+          f"({int(acc.sum())} accepted iters)", flush=True)
+
+    with open(outdir / "summary.json", "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(f"wrote {outdir}", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 30,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 512)
