@@ -41,8 +41,12 @@ def shard_packed(pk: packed_mod.PackedFactors, mesh: Mesh):
 
 
 def evaluate_packed_sharded(R, p, pk: packed_mod.PackedFactors, mesh: Mesh,
-                            *, interpret: bool = False):
-    """(res, J (6W,), H (6W,6W)) with per-device fused kernels + psum."""
+                            *, interpret: bool = False, impl: str = "xla"):
+    """(res, J (6W,), H (6W,6W)) with per-device fused kernels + psum.
+
+    impl: per-device evaluator form — 'xla', 'pallas', 'pallas2', or
+    'pallas3' (see ops/pallas_evaluate.evaluate_packed); the plane-axis
+    sharding and psum reduction are identical for all of them."""
     try:
         from jax import shard_map
     except ImportError:  # older jax
@@ -53,7 +57,8 @@ def evaluate_packed_sharded(R, p, pk: packed_mod.PackedFactors, mesh: Mesh,
 
     def local(R, p, mom, cen, coe, cfix):
         lpk = packed_mod.PackedFactors(mom=mom, cen=cen, coe=coe, cfix=cfix)
-        res, J, H = pe.evaluate_packed(R, p, lpk, interpret=interpret)
+        res, J, H = pe.evaluate_packed(R, p, lpk, interpret=interpret,
+                                       impl=impl)
         return (jax.lax.psum(res, FACTOR_AXIS),
                 jax.lax.psum(J, FACTOR_AXIS),
                 jax.lax.psum(H, FACTOR_AXIS))
