@@ -21,11 +21,17 @@ from .sharded import FACTOR_AXIS
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None):
-    """Initialize jax.distributed (no-op if single-process or already up)."""
-    if jax.process_count() > 1:
-        return
+    """Initialize jax.distributed (no-op if single-process or already up).
+
+    Must run before anything touches the XLA backend — so the
+    already-initialized guard uses jax.distributed.is_initialized(), NOT
+    jax.process_count() (which itself initializes the backend and would
+    lock the process into single-host mode; found by
+    scripts/multihost_demo.py)."""
     if coordinator is None:
         return  # single-host
+    if jax.distributed.is_initialized():
+        return
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
