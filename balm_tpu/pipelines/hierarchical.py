@@ -91,6 +91,15 @@ class HierarchicalConfig:
     # when this run will recurse; 'always' | 'off' force it.
     refeature_supers: str = "recursive"
     refeature_voxel: VoxelConfig = VoxelConfig(min_observers=1)
+    # coarse-to-fine TOP level: when set, the anchor solve runs once per
+    # stage (re-associating super-scans at the refined anchors between
+    # stages).  Coarse root voxels catch loop-closure overlaps whose
+    # accumulated drift exceeds the fine voxel size — the failure mode of
+    # a single-resolution top level on multi-loop maps (a revisited
+    # street drifted by > voxel_size never lands in the same fine leaf,
+    # so the closure constraint is never even formed).  Same idea as
+    # pipelines/coarse_to_fine.py, applied to the anchor problem.
+    top_stages: Sequence[VoxelConfig] | None = None
 
 
 def _solve_window(scans, R, p, vcfg, scfg, edges=None):
@@ -355,6 +364,14 @@ def run(
           pa1 = np.einsum("ab,nb->na", R[anchors[0]], pa1) + p[anchors[0]]
           top_planes = sub_info.get("top_planes", 0)
           info["recursed"] = sub_info
+      elif cfg.top_stages:
+          Ra1, pa1 = Ra0, pa0
+          top_planes = 0
+          for vcfg_stage in cfg.top_stages:
+              Ra1, pa1, top_planes, _ = _solve_window(
+                  super_scans, Ra1, pa1, vcfg_stage, cfg.top_solver,
+                  edges=anchor_edges,
+              )
       else:
           Ra1, pa1, top_planes, _ = _solve_window(
               super_scans, Ra0, pa0, cfg.top_voxel, cfg.top_solver,

@@ -136,7 +136,7 @@ def perturb_cumulative(R, p, seed, rot_step_deg=0.05, trans_step=0.007):
     return Rn, p + dt
 
 
-def main(W=1200):
+def main(W=1200, hier_only=False):
     R_gt, p_gt, scans = make_city(W, seed=1)
     R0, p0 = perturb_cumulative(R_gt, p_gt, seed=2)
     Rg, pg = lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
@@ -151,10 +151,19 @@ def main(W=1200):
               "initial_rsme": [float(rot0) * 57.3, float(tra0)]}
     out_path = (pathlib.Path(__file__).resolve().parents[1] / "artifacts"
                 / "hba_city.json")
+    if hier_only and out_path.exists():
+        # keep the already-captured flat baselines, redo the hierarchy
+        prev = json.loads(out_path.read_text())
+        for k in ("flat", "flat_reassoc3"):
+            if k in prev:
+                result[k] = prev[k]
 
     def save():
         with open(out_path, "w") as fh:
             json.dump(result, fh, indent=2)
+
+    if hier_only and "flat" in result:
+        return _run_hier(scans, R0, p0, vcfg, Rg, pg, result, out_path)
 
     # flat dense f64 (single association)
     t0 = time.perf_counter()
@@ -193,16 +202,28 @@ def main(W=1200):
           f"{float(tra_fr):.4f} m", flush=True)
     save()
 
+    _run_hier(scans, R0, p0, vcfg, Rg, pg, result, out_path)
+
+
+def _run_hier(scans, R0, p0, vcfg, Rg, pg, result, out_path):
+    def save():
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=2)
+
     # hierarchical: recursion OFF vs ON (anchors = W/stride = 75 at the
     # defaults below; recurse_at=64 forces a second anchor level)
-    for label, recurse_at in (("off", 100000), ("on", 64)):
+    def one_cycle(Rc, pc, recurse_at, top_stages=None):
         cfg = hierarchical.HierarchicalConfig(
             block=20, stride=16, polish=False,
             refeature_supers="recursive", voxel=vcfg,
             top_voxel=VoxelConfig(voxel_size=1.0, min_observers=2),
-            recurse_at=recurse_at)
+            top_stages=top_stages, recurse_at=recurse_at)
+        return hierarchical.run(scans, Rc, pc, cfg)
+
+    Rh_on = ph_on = None
+    for label, recurse_at in (("off", 100000), ("on", 64)):
         t0 = time.perf_counter()
-        Rh, ph, info = hierarchical.run(scans, R0, p0, cfg)
+        Rh, ph, info = one_cycle(R0, p0, recurse_at)
         dt = time.perf_counter() - t0
         rot, tra = metrics.pose_rsme(jnp.asarray(Rh), jnp.asarray(ph),
                                      Rg, pg)
@@ -213,9 +234,46 @@ def main(W=1200):
         print(f"hier recurse={label}: {dt:.1f}s RSME "
               f"{float(rot)*57.3:.4f} deg {float(tra):.4f} m", flush=True)
         save()
+        if label == "on":
+            Rh_on, ph_on = np.asarray(Rh), np.asarray(ph)
 
+    # second hierarchical cycle from the first pass's poses: every
+    # association (bottom blocks AND anchor graph) regenerates from the
+    # partially-corrected trajectory — the hierarchy's analogue of the
+    # flat re-association cycles above
+    t0 = time.perf_counter()
+    Rh2, ph2, info2 = one_cycle(Rh_on, ph_on, 64)
+    dt = time.perf_counter() - t0
+    rot2, tra2 = metrics.pose_rsme(jnp.asarray(Rh2), jnp.asarray(ph2),
+                                   Rg, pg)
+    result["hier_recurse_on_x2"] = {
+        "total_s": round(dt, 1), "n_blocks": info2["n_blocks"],
+        "recursed": "recursed" in info2,
+        "rsme_deg_m": [float(rot2) * 57.3, float(tra2)]}
+    print(f"hier recurse=on x2: {dt:.1f}s RSME "
+          f"{float(rot2)*57.3:.4f} deg {float(tra2):.4f} m", flush=True)
+    save()
+
+    # coarse-to-fine TOP level: coarse root voxels catch the cross-leg
+    # revisit overlaps whose drift exceeds the fine voxel (the closure
+    # constraints single-resolution association never forms)
+    from balm_tpu.pipelines import coarse_to_fine
+
+    t0 = time.perf_counter()
+    Rh3, ph3, info3 = one_cycle(
+        R0, p0, 100000, top_stages=coarse_to_fine.default_stages())
+    dt = time.perf_counter() - t0
+    rot3, tra3 = metrics.pose_rsme(jnp.asarray(Rh3), jnp.asarray(ph3),
+                                   Rg, pg)
+    result["hier_c2f_top"] = {
+        "total_s": round(dt, 1), "n_blocks": info3["n_blocks"],
+        "rsme_deg_m": [float(rot3) * 57.3, float(tra3)]}
+    print(f"hier c2f-top: {dt:.1f}s RSME "
+          f"{float(rot3)*57.3:.4f} deg {float(tra3):.4f} m", flush=True)
+    save()
     print(f"wrote {out_path}", flush=True)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1200)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1200,
+         hier_only="--hier-only" in sys.argv)

@@ -185,3 +185,27 @@ def test_recursive_top_level_matches_direct():
     _, t1 = metrics.pose_rsme(jnp.asarray(R1), jnp.asarray(p1), Rg, pg)
     _, t2 = metrics.pose_rsme(jnp.asarray(R2), jnp.asarray(p2), Rg, pg)
     assert float(t2) < 2.0 * float(t1) + 1e-4
+
+
+def test_c2f_top_stages_no_worse():
+    """A coarse-to-fine top-level schedule (top_stages) must plumb
+    through and end no worse than the single-resolution top level (its
+    last stage is the same fine voxel config).  The capability it adds —
+    forming loop-closure constraints whose drift exceeds the fine voxel
+    — is demonstrated at scale in scripts/hba_city_demo.py."""
+    from balm_tpu.pipelines import coarse_to_fine
+
+    R_gt, p_gt, scans = make_long_scene(W=24, seed=21)
+    R0, p0 = perturb_drift(R_gt, p_gt, seed=22)
+    Rg, pg = lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
+    base = hierarchical.HierarchicalConfig(block=8, stride=6, polish=False,
+                                           cycles=1)
+    c2f = hierarchical.HierarchicalConfig(
+        block=8, stride=6, polish=False, cycles=1,
+        top_stages=coarse_to_fine.default_stages())
+    R1, p1, _ = hierarchical.run(scans, R0, p0, base)
+    R2, p2, info = hierarchical.run(scans, R0, p0, c2f)
+    _, tra1 = metrics.pose_rsme(jnp.asarray(R1), jnp.asarray(p1), Rg, pg)
+    _, tra2 = metrics.pose_rsme(jnp.asarray(R2), jnp.asarray(p2), Rg, pg)
+    assert info["top_planes"] > 0
+    assert float(tra2) < 1.2 * float(tra1) + 1e-3
