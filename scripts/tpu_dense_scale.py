@@ -78,6 +78,7 @@ if __name__ == "__main__":
     out = {"device": str(jax.devices()[0]),
            "tunnel_fingerprint_ms_per_512matmul": fingerprint_ms,
            "windows": []}
+    pending = []
     print(f"fingerprint {fingerprint_ms} ms/512-matmul", flush=True)
     for W, G in sizes:
         vcfg = virtual.VirtualConfig(win_size=W, surf_size=G, pts_size=6,
@@ -106,11 +107,16 @@ if __name__ == "__main__":
 
         rec = {"W": W, "Wp": Wp, "planes": G, "Gp": Gp}
         with jax.default_matmul_precision("float32"):
-            for impl in ("xla", "pallas2", "pallas3"):
-                def ev(Rc, pc, impl=impl):
+            # xla_bf16: one-pass bf16 Hessian matmul (H only steers the
+            # Newton step; J/res stay exact-f32) — the cheapest form
+            for impl, hp in (("xla", lax.Precision.HIGH),
+                             ("pallas2", lax.Precision.HIGH),
+                             ("pallas3", lax.Precision.HIGH),
+                             ("xla_bf16", lax.Precision.DEFAULT)):
+                def ev(Rc, pc, impl=impl, hp=hp):
                     return pe.evaluate_packed(
-                        Rc, pc, pkf, impl=impl,
-                        hess_precision=lax.Precision.HIGH)
+                        Rc, pc, pkf, impl=impl.split("_")[0],
+                        hess_precision=hp)
 
                 def maker(K):
                     @jax.jit
@@ -127,7 +133,9 @@ if __name__ == "__main__":
                 try:
                     dt = slope(maker, (R, p))
                     rec[f"eval_{impl}_ms"] = round(dt * 1e3, 3)
-                    rec[f"eval_{impl}_tflops"] = round(flops_h / dt / 1e12, 2)
+                    # bf16 is a ONE-pass dot: 1/3 the MXU passes
+                    fl = flops_h / (3 if hp == lax.Precision.DEFAULT else 1)
+                    rec[f"eval_{impl}_tflops"] = round(fl / dt / 1e12, 2)
                 except Exception as e:  # VMEM overflow at large W
                     rec[f"eval_{impl}_ms"] = None
                     rec[f"eval_{impl}_error"] = str(e).split("\n")[0][:120]
@@ -135,18 +143,35 @@ if __name__ == "__main__":
             # whole 10-iteration fused LM solve, wall clock (one dispatch)
             scfg = SolverConfig(max_iters=10, u_init=0.1, rel_tol=0.0,
                                 min_planes_per_pose=0)
-            def run_loop():
-                return lm.damping_iter(R, p, f, scfg, centered=True,
-                                       backend="packed")
-            jax.block_until_ready(run_loop().R)
-            ts = []
-            for _ in range(5):
-                t0 = time.perf_counter()
+            outs = {}
+            for hp_name in ("high", "bf16"):
+                def run_loop(hp_name=hp_name):
+                    return lm.damping_iter(R, p, f, scfg, centered=True,
+                                           backend="packed",
+                                           hess_precision=hp_name)
                 jax.block_until_ready(run_loop().R)
-                ts.append(time.perf_counter() - t0)
-            rec["loop10_wall_ms"] = round(min(ts) * 1e3, 1)
-            rec["loop10_iter_per_s"] = round(10 / min(ts), 1)
+                ts = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    o = run_loop()
+                    jax.block_until_ready(o.R)
+                    ts.append(time.perf_counter() - t0)
+                outs[hp_name] = o
+                key = "loop10" if hp_name == "high" else "loop10_bf16"
+                rec[f"{key}_wall_ms"] = round(min(ts) * 1e3, 1)
+                rec[f"{key}_iter_per_s"] = round(10 / min(ts), 1)
+            # convergence-equality data for the one-pass bf16 Hessian;
+            # ALL host fetches deferred past the last timed dispatch
+            # (transfer poisoning — artifacts/transfer_poisoning.md)
+            pending.append((rec, outs))
         out["windows"].append(rec)
+        print(json.dumps(rec), flush=True)
+
+    for rec, outs in pending:
+        rec["loop10_residual"] = float(outs["high"].residual)
+        rec["loop10_bf16_residual"] = float(outs["bf16"].residual)
+        rec["loop10_iters"] = int(outs["high"].iters)
+        rec["loop10_bf16_iters"] = int(outs["bf16"].iters)
         print(json.dumps(rec), flush=True)
 
     outp = pathlib.Path(__file__).resolve().parents[1] / "artifacts"
