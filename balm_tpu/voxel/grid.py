@@ -113,7 +113,9 @@ def voxelize(
     pd = p.astype(dtype, copy=False)
     for i, pts in enumerate(points):
         n = len(pts)
-        world[ofs:ofs + n] = body[ofs:ofs + n] @ Rd[i].T + pd[i]
+        seg = world[ofs:ofs + n]
+        np.matmul(body[ofs:ofs + n], Rd[i].T, out=seg)
+        seg += pd[i]
         ofs += n
     n_pts = len(body)
 
@@ -235,6 +237,26 @@ def voxelize(
     )
 
 
+def _compress_rows(arr: np.ndarray, keep: np.ndarray) -> np.ndarray:
+    """arr[keep] for a big (G, ...) array, as contiguous run memcpys.
+
+    numpy's boolean fancy indexing gathers row-by-row (~1 s to drop 6 of
+    5535 (W,4,4) leaf rows at realworld scale); copying the contiguous
+    keep-runs instead is a handful of memcpys."""
+    if keep.all():
+        return arr
+    drop = np.flatnonzero(~keep)
+    out = np.empty((int(keep.sum()),) + arr.shape[1:], arr.dtype)
+    src = dst = 0
+    for d in drop:
+        n = d - src
+        out[dst:dst + n] = arr[src:d]
+        dst += n
+        src = d + 1
+    out[dst:] = arr[src:]
+    return out
+
+
 def _assemble(C_all, centers_all, layers_all, decisions_all, point_leaf,
               scan_id, W, cfg, dtype, pad_to, weighting) -> VoxelizeResult:
     """Admission gates + padding -> PlaneFactors (push_voxel,
@@ -243,7 +265,7 @@ def _assemble(C_all, centers_all, layers_all, decisions_all, point_leaf,
     # admission: >= min_observers scans (bavoxel.hpp:33-37)
     observers = (C_all[..., 3, 3] > 0).sum(axis=1)
     admit = observers >= cfg.min_observers
-    C_all = C_all[admit]
+    C_all = _compress_rows(C_all, admit)
     centers_all = centers_all[admit]
     layers_all = layers_all[admit]
     decisions_all = decisions_all[admit]
