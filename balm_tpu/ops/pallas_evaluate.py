@@ -633,11 +633,23 @@ def _hess_kernel_v3(blk_ref, pose_i_ref, pose_j_ref, mom_i_ref, mom_j_ref,
     for j in range(6):
         for k in range(3):
             rows_i_ref[pl.ds(j * Bw, Bw), k * BG:(k + 1) * BG] = rows[j][k]
-    rows_j, _, _ = _rows_channels_xla(
-        pose_j_ref[...], mom_j_ref[...], cen_ref[...], aux_ref[...])
-    for j in range(6):
-        for k in range(3):
-            rows_j_ref[pl.ds(j * Bw, Bw), k * BG:(k + 1) * BG] = rows_j[j][k]
+
+    @pl.when(~is_diag)
+    def _():
+        rows_j, _, _ = _rows_channels_xla(
+            pose_j_ref[...], mom_j_ref[...], cen_ref[...], aux_ref[...])
+        for j in range(6):
+            for k in range(3):
+                rows_j_ref[pl.ds(j * Bw, Bw),
+                           k * BG:(k + 1) * BG] = rows_j[j][k]
+
+    @pl.when(is_diag)
+    def _():
+        # the j block IS the i block on diagonal pairs (blk[p,0] ==
+        # blk[p,1] aliases the same HBM tiles): a VMEM copy replaces the
+        # second full channel assembly — diag pairs are the majority of
+        # the grid at small block counts (2/3 at nB = 2)
+        rows_j_ref[...] = rows_i_ref[...]
 
     Mi = rows_i_ref[...]
     Mj = rows_j_ref[...]

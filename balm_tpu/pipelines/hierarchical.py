@@ -103,18 +103,25 @@ class HierarchicalConfig:
 
 
 def _solve_window(scans, R, p, vcfg, scfg, edges=None):
-    """-> (R, p, num_planes, sigma2) where sigma2 = residual / sum(coe)
-    ~ the per-point out-of-plane noise variance (lambda_0 at the optimum
-    is the plane's point-noise variance) — used to weight pose-graph
-    edges consistently with the plane cost's units."""
+    """-> (R, p, num_planes, sigma2) where sigma2 = plane residual /
+    sum(coe) ~ the per-point out-of-plane noise variance (lambda_0 at the
+    optimum is the plane's point-noise variance) — used to weight
+    pose-graph edges consistently with the plane cost's units."""
     vres = grid.voxelize(list(scans), R, p, vcfg, dtype=np.float64)
     if vres.num_planes == 0:
         return R, p, 0, 0.0
     fj = Fmod.PlaneFactors(*[jnp.asarray(x) for x in vres.factors])
     res = lm.damping_iter(jnp.asarray(R), jnp.asarray(p), fj, scfg,
                           edges=edges)
+    plane_res = float(res.residual)
+    if edges is not None:
+        # res.residual includes the pose-graph edge cost; sigma2 must be
+        # the PLANE noise alone or recursion levels inflate the estimate
+        # (and with it the next level's edge weights) with edge tension
+        T = lie.pose_matrix(res.R, res.p)
+        plane_res = float(Fmod.residual_only(T, fj))
     sum_coe = float(np.sum(np.asarray(fj.coe)))
-    sigma2 = float(res.residual) / max(sum_coe, 1.0)
+    sigma2 = plane_res / max(sum_coe, 1.0)
     return np.asarray(res.R), np.asarray(res.p), vres.num_planes, sigma2
 
 
@@ -123,7 +130,10 @@ def solve_blocks_batched(block_factors, Rs, ps, scfg: SolverConfig):
 
     block_factors: list of PlaneFactors with identical window size; plane
     axes are padded to the common maximum (padding contributes zero).
-    Rs (B, Wb, 3, 3), ps (B, Wb, 3).  Returns (B, Wb, 3, 3), (B, Wb, 3).
+    Rs (B, Wb, 3, 3), ps (B, Wb, 3).  Returns ((B, Wb, 3, 3), (B, Wb, 3),
+    sigma2 (B,)) where sigma2 is each block's residual / sum(coe) — the
+    per-point noise estimate the overlap-edge weighting needs (the loop
+    branch computes the same quantity in _solve_window).
 
     This is the TPU-native bottom level: the blocks' while_loops run in
     lockstep under vmap (finished blocks keep iterating on converged
@@ -146,13 +156,14 @@ def solve_blocks_batched(block_factors, Rs, ps, scfg: SolverConfig):
     stacked = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *[pad(f) for f in block_factors]
     )
-    import functools
-
-    solver = functools.partial(lm.damping_iter, cfg=scfg)
-    out = jax.vmap(lambda R, p, f: solver(R, p, f))(
+    out = jax.vmap(lambda R, p, f: lm.damping_iter(R, p, f, cfg=scfg))(
         jnp.asarray(np.stack(Rs)), jnp.asarray(np.stack(ps)), stacked
     )
-    return np.asarray(out.R), np.asarray(out.p)
+    sum_coe = np.maximum(
+        np.asarray([float(np.sum(np.asarray(f.coe))) for f in block_factors]),
+        1.0)
+    sigma2 = np.asarray(out.residual, np.float64) / sum_coe
+    return np.asarray(out.R), np.asarray(out.p), sigma2
 
 
 def refeature_super_scan(sp: np.ndarray, vcfg: VoxelConfig) -> np.ndarray:
@@ -177,11 +188,9 @@ def _edges_in_block(scan_edges, idx):
     to block-local indices (None if empty)."""
     if scan_edges is None:
         return None
-    import numpy as _np
-
     pos = {i: j for j, i in enumerate(idx)}
-    ei = _np.asarray(scan_edges.i)
-    ej = _np.asarray(scan_edges.j)
+    ei = np.asarray(scan_edges.i)
+    ej = np.asarray(scan_edges.j)
     keep = [k for k in range(len(ei)) if ei[k] in pos and ej[k] in pos]
     if not keep:
         return None
@@ -214,6 +223,10 @@ def run(
     every edge lands fully inside at least one block).
     """
     W = len(scans)
+    if cfg.stride > cfg.block:
+        raise ValueError(
+            f"stride ({cfg.stride}) > block ({cfg.block}) leaves scans in "
+            "no block (unowned poses would compose against garbage)")
     R = np.asarray(R, np.float64).copy()
     p = np.asarray(p, np.float64).copy()
     info = {"blocks": [], "W": W}
@@ -225,17 +238,20 @@ def run(
     nb = len(starts)
 
     def _global_residual(Rc, pc):
-        """Full-problem BA cost at the given poses (re-associated) — the
-        cycle acceptance metric."""
+        """Full-problem MEAN per-point plane cost at the given poses
+        (re-associated) — the cycle acceptance metric.  Normalized by
+        sum(coe): the raw cost sum_g coe_g*lambda0_g grows when an
+        IMPROVED trajectory admits more planes (new coe*lambda0 terms),
+        so the unnormalized value is not monotone in map quality across
+        different associations and would wrongly revert good cycles."""
         vres = grid.voxelize(list(scans), Rc, pc, cfg.voxel,
                              dtype=np.float64)
         if vres.num_planes == 0:
             return np.inf
         fj = Fmod.PlaneFactors(*[jnp.asarray(x) for x in vres.factors])
-        from ..ops import factors as _F
-
         T = lie.pose_matrix(jnp.asarray(Rc), jnp.asarray(pc))
-        return float(_F.residual_only(T, fj))
+        sum_coe = max(float(np.sum(np.asarray(fj.coe))), 1.0)
+        return float(Fmod.residual_only(T, fj)) / sum_coe
 
     res_prev = _global_residual(R, p)
     for _cycle in range(max(cfg.cycles, 1)):
@@ -268,10 +284,11 @@ def run(
               facs.append(vres.factors)
               info["blocks"].append({"start": idx[0], "size": len(idx),
                                      "planes": vres.num_planes})
-          Rall, pall = solve_blocks_batched(
+          Rall, pall, sig2_all = solve_blocks_batched(
               facs, [b[1] for b in block_local], [b[2] for b in block_local],
               cfg.solver,
           )
+          sigma2_blocks.extend(float(s) for s in sig2_all)
           solved = [(block_local[k][0], Rall[k], pall[k]) for k in range(nb)]
       else:
           solved = []

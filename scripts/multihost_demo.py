@@ -30,6 +30,7 @@ import pathlib
 import socket
 import subprocess
 import sys
+import time
 
 import numpy as np
 
@@ -52,6 +53,8 @@ def _problem(win_size, surf_size, pts_size):
 
 
 def _solve(R, p, f, mesh=None):
+    import contextlib
+
     from balm_tpu.config import SolverConfig
     from balm_tpu.parallel import sharded
     from balm_tpu.solver import lm
@@ -61,18 +64,10 @@ def _solve(R, p, f, mesh=None):
         f = sharded.shard_factors(f, mesh)
         R = sharded.replicate(R, mesh)
         p = sharded.replicate(p, mesh)
-    with (mesh if mesh is not None else _nullcontext()):
+    with (mesh if mesh is not None else contextlib.nullcontext()):
         out = lm.damping_iter(R, p, f, cfg)
         out.R.block_until_ready()
     return out
-
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False
 
 
 def worker(proc_id, nproc, dev_per_proc, coord, win, surf, pts, out_path):
@@ -140,7 +135,17 @@ def main(nproc=2, dev_per_proc=4, win=20, surf=40, pts=30,
              str(dev_per_proc), coord, str(win), str(surf), str(pts),
              out_npz],
             env=env, cwd=str(REPO)))
-    codes = [q.wait(timeout=900) for q in procs]
+    try:
+        # one shared deadline: a worker that dies mid-init leaves its
+        # peers blocked in a collective forever — kill the whole fleet
+        # on timeout or partial failure instead of orphaning it
+        deadline = time.monotonic() + 900
+        codes = [q.wait(timeout=max(1.0, deadline - time.monotonic()))
+                 for q in procs]
+    finally:
+        for q in procs:
+            if q.poll() is None:
+                q.kill()
     if any(codes):
         raise SystemExit(f"worker failure: exit codes {codes}")
 
