@@ -59,6 +59,8 @@ def optimize_poses(
         else:
             backend = "xla"
 
+    if W == 0:
+        raise ValueError("optimize_poses needs at least one scan")
     R = np.asarray(R, np.float64)
     p = np.asarray(p, np.float64)
     vres = grid.voxelize(list(scans), R, p, voxel, dtype=np.float64)
@@ -95,10 +97,13 @@ def optimize_poses(
     res = lm.damping_iter(
         jnp.asarray(R, dtype), jnp.asarray(p, dtype), f, solver,
         centered=use_f32, backend=backend if backend == "packed" else "xla")
+    res1_0 = float(res.trace_res1[0])
     info.update(
         status="degenerate" if bool(res.degenerate) else "ok",
         iters=int(res.iters), residual=float(res.residual),
-        residual_initial=float(res.trace_res1[0]))
+        # trace_res1[0] is unwritten (NaN) when the loop never iterated
+        residual_initial=res1_0 if np.isfinite(res1_0)
+        else float(res.residual))
     if verbose:
         print(lm.format_trace(res))
     return np.asarray(res.R), np.asarray(res.p), info

@@ -102,10 +102,22 @@ def voxelize(
     implementation), or 'auto' (native when available).
     """
     W = len(points)
+    if W == 0:
+        raise ValueError("voxelize needs at least one scan")
     scan_id = np.concatenate(
         [np.full(len(pts), i, np.int64) for i, pts in enumerate(points)]
     )
     body = np.concatenate(points).astype(dtype, copy=False)
+    if len(body):
+        # one-pass check (min/max propagate NaN, expose inf): non-finite
+        # points silently poison cluster moments downstream.  Lidar
+        # invalid returns are conventionally NaN — io/pcd.read_pcd_xyz
+        # already drops them at load; filter before calling this.
+        lo, hi = float(np.min(body)), float(np.max(body))
+        if not (np.isfinite(lo) and np.isfinite(hi)):
+            raise ValueError(
+                "non-finite point coordinates in input scans; filter "
+                "invalid returns first (io/pcd.read_pcd_xyz does)")
     # per-scan transform: avoids gathering a (N, 3, 3) rotation array
     world = np.empty_like(body)
     ofs = 0

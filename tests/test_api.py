@@ -40,3 +40,33 @@ def test_optimize_poses_large_backend():
     _, tra1 = metrics.pose_rsme(
         *lie.gauge_fix(jnp.asarray(R1), jnp.asarray(p1)), Rg, pg)
     assert float(tra1) < 0.5 * float(tra0)
+
+
+def test_api_edge_inputs():
+    """User-surface robustness: clear errors for empty/invalid input,
+    graceful degenerate status (finite reporting) for starved windows."""
+    import numpy as np
+    import pytest
+
+    import balm_tpu
+
+    rng = np.random.default_rng(0)
+    plane = np.concatenate(
+        [rng.uniform(-1, 1, (200, 2)), rng.normal(0, 0.003, (200, 1))], -1)
+
+    with pytest.raises(ValueError, match="at least one scan"):
+        balm_tpu.optimize_poses([], np.zeros((0, 3, 3)), np.zeros((0, 3)))
+
+    bad = plane.copy()
+    bad[0, 0] = np.nan
+    with pytest.raises(ValueError, match="non-finite"):
+        balm_tpu.optimize_poses([bad, plane], np.stack([np.eye(3)] * 2),
+                                np.zeros((2, 3)))
+
+    # a window starved of planes reports degenerate with finite numbers
+    R, p, info = balm_tpu.optimize_poses(
+        [plane, np.zeros((0, 3)), plane + 0.01],
+        np.stack([np.eye(3)] * 3), np.zeros((3, 3)))
+    assert info["status"] in ("degenerate", "ok", "no_planes")
+    if "residual_initial" in info:
+        assert np.isfinite(info["residual_initial"])
