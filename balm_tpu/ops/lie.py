@@ -81,17 +81,27 @@ def so3_log(R):
     """
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
+    # d(arccos)/dx -> inf at x -> 1, and theta is shared by every branch
+    # below, so an exactly-satisfied rotation (R = I, e.g. odometry-chain
+    # pose-graph edges measured FROM the current trajectory) would leak
+    # NaN into the gradient of ALL branches through the chain rule.
+    # Guard the arccos input on the small branch and keep that branch's
+    # math free of theta entirely (sin^2 theta = |K|^2/4 instead).
+    small = cos_t > 1.0 - 5e-7          # theta < ~1e-3
+    safe_cos = jnp.where(small, 0.0, jnp.clip(cos_t, -1.0 + 1e-12, 1.0))
+    theta = jnp.where(small, 0.0, jnp.arccos(safe_cos))
     K = jnp.stack(
         [R[..., 2, 1] - R[..., 1, 2],
          R[..., 0, 2] - R[..., 2, 0],
          R[..., 1, 0] - R[..., 0, 1]],
         axis=-1,
     )
-    # generic branch: 0.5 * theta / sin(theta) * K, Taylor near 0
-    small = theta < 1e-3
+    # generic branch: 0.5 * theta / sin(theta) * K; Taylor near 0 written
+    # in |K|^2 (= 4 sin^2 theta), which is smooth at K = 0 where a norm
+    # or arccos would not be
+    k2 = 0.25 * jnp.sum(K * K, axis=-1)   # sin^2 theta
     sin_t = jnp.where(small, 1.0, jnp.sin(theta))
-    factor = jnp.where(small, 0.5 + theta**2 / 12.0, 0.5 * theta / sin_t)
+    factor = jnp.where(small, 0.5 + k2 / 12.0, 0.5 * theta / sin_t)
     w_generic = factor[..., None] * K
 
     # near-pi branch: axis from the dominant column of R + I

@@ -83,6 +83,76 @@ def evaluate_relpose(R, p, edges: RelPoseEdges):
     return res, J, H
 
 
+def concat_edges(a: RelPoseEdges | None, b: RelPoseEdges | None):
+    """Concatenate two edge batches (either may be None)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return RelPoseEdges(*[
+        jnp.concatenate([jnp.asarray(x), jnp.asarray(y)])
+        for x, y in zip(a, b)
+    ])
+
+
+def lift_edges(edges: RelPoseEdges, owner: np.ndarray,
+               rel_R, rel_p) -> RelPoseEdges | None:
+    """Lift scan-level relative-pose edges onto the anchor (block) graph.
+
+    The hierarchical pipeline solves each block in its anchor frame, so
+    scan a decomposes as T_a = T_A(owner[a]) * T_rel(a).  A scan-level
+    measurement Z_ab = T_a^-1 T_b therefore induces the anchor-level
+    measurement
+
+        T_A(ka)^-1 T_A(kb) = T_rel(a) * Z_ab * T_rel(b)^-1,
+
+    i.e. Zr' = Ra Zr Rb^T and Zp' = Ra Zp + pa - Zr' pb with
+    (Ra, pa) = rel pose of scan a, (Rb, pb) = rel pose of scan b.  This
+    is how LOOP-CLOSURE edges (pipelines/loopclose.py) — which span
+    distant blocks by construction — survive the super-scan compression;
+    in-block edges (ka == kb) are already enforced by the bottom solve
+    and are dropped.  Weights carry over unchanged (the lift is a rigid
+    re-expression of the same measurement).
+
+    Caveat: the lift bakes the refined rel poses into the measurement,
+    so it is only as good as the bottom blocks.  If a block solve
+    corrupts its intra-block geometry (e.g. the information-limited
+    corridor regime, artifacts/corridor_scale.json), the lifted edge
+    inherits that error at full weight.  The hierarchical pipeline
+    defends in two ways: the cycle guard includes the scan-level edge
+    cost (a cycle whose composed result violates the original loops is
+    reverted), and the polish pass re-enforces the edges at the scan
+    level, lift-free.
+    """
+    ei = np.asarray(edges.i)
+    ej = np.asarray(edges.j)
+    keep = [k for k in range(len(ei))
+            if owner[ei[k]] != owner[ej[k]]]
+    if not keep:
+        return None
+    li, lj, Zr_l, Zp_l = [], [], [], []
+    Zr = np.asarray(edges.Zr)
+    Zp = np.asarray(edges.Zp)
+    for k in keep:
+        a, b = int(ei[k]), int(ej[k])
+        Ra, pa = np.asarray(rel_R[a]), np.asarray(rel_p[a])
+        Rb, pb = np.asarray(rel_R[b]), np.asarray(rel_p[b])
+        Zr2 = Ra @ Zr[k] @ Rb.T
+        Zp2 = Ra @ Zp[k] + pa - Zr2 @ pb
+        li.append(int(owner[a]))
+        lj.append(int(owner[b]))
+        Zr_l.append(Zr2)
+        Zp_l.append(Zp2)
+    return RelPoseEdges(
+        i=jnp.asarray(li, jnp.int32),
+        j=jnp.asarray(lj, jnp.int32),
+        Zr=jnp.asarray(np.stack(Zr_l)),
+        Zp=jnp.asarray(np.stack(Zp_l)),
+        w_rot=jnp.asarray(np.asarray(edges.w_rot)[keep]),
+        w_tr=jnp.asarray(np.asarray(edges.w_tr)[keep]),
+    )
+
+
 def consensus_edge(rel_Ri, rel_pi, rel_Rj, rel_pj):
     """Consensus relative pose between two anchors from shared scans.
 

@@ -243,7 +243,11 @@ def run(
         sum(coe): the raw cost sum_g coe_g*lambda0_g grows when an
         IMPROVED trajectory admits more planes (new coe*lambda0 terms),
         so the unnormalized value is not monotone in map quality across
-        different associations and would wrongly revert good cycles."""
+        different associations and would wrongly revert good cycles.
+        Scan-level edges (verified loop closures) are added in the same
+        normalization: a cycle that lowers plane cost by locking into
+        drifted association while violating the loops must not be
+        accepted."""
         vres = grid.voxelize(list(scans), Rc, pc, cfg.voxel,
                              dtype=np.float64)
         if vres.num_planes == 0:
@@ -251,7 +255,13 @@ def run(
         fj = Fmod.PlaneFactors(*[jnp.asarray(x) for x in vres.factors])
         T = lie.pose_matrix(jnp.asarray(Rc), jnp.asarray(pc))
         sum_coe = max(float(np.sum(np.asarray(fj.coe))), 1.0)
-        return float(Fmod.residual_only(T, fj)) / sum_coe
+        cost = float(Fmod.residual_only(T, fj))
+        if scan_edges is not None:
+            from ..ops import pose_graph as PG
+
+            cost += float(PG.relpose_cost(
+                jnp.asarray(Rc), jnp.asarray(pc), scan_edges))
+        return cost / sum_coe
 
     res_prev = _global_residual(R, p)
     for _cycle in range(max(cfg.cycles, 1)):
@@ -351,6 +361,17 @@ def run(
               )
               info["n_edges"] = len(ei)
 
+      # loop-closure (and any other long-range) scan edges span blocks by
+      # construction — re-express them on the anchor graph so they
+      # survive the super-scan compression (ops/pose_graph.lift_edges)
+      if scan_edges is not None:
+          from ..ops import pose_graph as PG
+
+          lifted = PG.lift_edges(scan_edges, owner, rel_R, rel_p)
+          if lifted is not None:
+              anchor_edges = PG.concat_edges(anchor_edges, lifted)
+              info["n_lifted_edges"] = int(len(np.asarray(lifted.i)))
+
       # --- top level: super-scans in anchor frames ---
       will_recurse = nb > cfg.recurse_at
       refeature = (cfg.refeature_supers == "always"
@@ -416,9 +437,13 @@ def run(
 
 
     # --- optional flat polish ---
+    # scan-level edges are enforced here DIRECTLY (no lift): unlike the
+    # anchor-level lift, this is immune to intra-block error baked into
+    # the frozen rel poses
     if cfg.polish:
         R, p, nplanes, _ = _solve_window(
-            list(scans), R, p, cfg.voxel, cfg.polish_solver
+            list(scans), R, p, cfg.voxel, cfg.polish_solver,
+            edges=scan_edges,
         )
         info["polish_planes"] = nplanes
 

@@ -140,3 +140,28 @@ def test_adjoint_translation_consistency():
         lie.centering_hessian_correction(g_shift[3:], c)
     )
     assert jnp.allclose(H_orig, H_mapped, atol=1e-9)
+
+
+def test_so3_log_grad_at_identity():
+    """Gradients through so3_log must stay finite at theta = 0 (an
+    odometry-chain pose-graph edge measured FROM the current trajectory
+    is satisfied EXACTLY, so its rotation residual differentiates
+    so3_log at the identity; the naive arccos chain rule is NaN there —
+    regression for the guard in so3_log)."""
+    import jax
+
+    def cost(w):
+        R = lie.so3_exp(w)
+        return jnp.sum(lie.so3_log(R) ** 2)
+
+    g = jax.grad(cost)(jnp.zeros(3))
+    assert jnp.all(jnp.isfinite(g))
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-12)
+    H = jax.hessian(cost)(jnp.zeros(3))
+    assert jnp.all(jnp.isfinite(H))
+    np.testing.assert_allclose(np.asarray(H), 2.0 * np.eye(3), atol=1e-6)
+    # and just off identity the gradient matches 2w
+    w0 = jnp.asarray([1e-5, -2e-5, 0.5e-5])
+    g2 = jax.grad(cost)(w0)
+    np.testing.assert_allclose(np.asarray(g2), 2 * np.asarray(w0),
+                               rtol=1e-6)
