@@ -37,14 +37,38 @@ def optimize_poses(
     backend: str = "auto",   # 'auto' | 'packed' (alias 'pallas') | 'xla' | 'large'
     dtype: Optional[str] = None,    # None = f32 on TPU else f64 (needs x64)
     large_threshold: int = 600,
+    loop_closure: bool = False,
+    loop_config=None,        # pipelines.loopclose.LoopConfig when set
     verbose: bool = False,
 ):
     """Bundle-adjust a pose window against self-consistent plane factors.
 
     scans: list of (Ni, 3) body-frame clouds; R (W,3,3), p (W,3) initial
     poses.  Returns (R, p, info).
+
+    loop_closure=True prepends place recognition + pose-graph warping
+    (pipelines/loopclose.py) before BA — required once cumulative drift
+    exceeds the voxel size, where plane association alone can never form
+    the revisit constraints (artifacts/loopclose_city.json).  When no
+    loop survives verification the input poses pass through unchanged.
     """
     W = len(scans)
+    if loop_closure and W > 0:
+        from .pipelines import loopclose as LC
+
+        lcfg = loop_config if loop_config is not None else LC.LoopConfig()
+        R, p, lc_edges, lc_info = LC.close_loops(
+            scans, np.asarray(R, np.float64), np.asarray(p, np.float64),
+            lcfg, verbose=verbose)
+        loop_info = {
+            "n_edges": 0 if lc_edges is None else int(
+                np.asarray(lc_edges.i).shape[0]),
+            "n_verified": lc_info.get("n_verified", 0),
+        }
+        if "pgo" in lc_info:
+            loop_info["pgo_iters"] = lc_info["pgo"].get("iters")
+    else:
+        loop_info = None
     on_tpu = jax.default_backend() == "tpu"
     if dtype is None:
         dtype = "float32" if on_tpu else (
@@ -66,6 +90,8 @@ def optimize_poses(
     vres = grid.voxelize(list(scans), R, p, voxel, dtype=np.float64)
     info = {"num_planes": vres.num_planes, "backend": backend,
             "dtype": dtype}
+    if loop_info is not None:
+        info["loop_closure"] = loop_info
     if vres.num_planes == 0:
         info["status"] = "no_planes"
         return R, p, info

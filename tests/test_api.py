@@ -70,3 +70,30 @@ def test_api_edge_inputs():
     assert info["status"] in ("degenerate", "ok", "no_planes")
     if "residual_initial" in info:
         assert np.isfinite(info["residual_initial"])
+
+
+def test_optimize_poses_loop_closure():
+    """loop_closure=True runs detect -> PGO -> BA end-to-end: on the
+    square-revisit scene the corrected trajectory lands far inside the
+    cumulative-drift init, and info reports the accepted edges."""
+    from balm_tpu.config import VoxelConfig
+    from balm_tpu.pipelines import loopclose as LC
+    from tests.test_loopclose import make_loop_scene, _perturb_cumulative
+
+    R_gt, p_gt, scans = make_loop_scene()
+    R0, p0 = _perturb_cumulative(R_gt, p_gt, seed=3)
+    R1, p1, info = balm_tpu.optimize_poses(
+        scans, R0, p0, loop_closure=True,
+        loop_config=LC.LoopConfig(max_dist=5.0, query_every=2),
+        voxel=VoxelConfig(voxel_size=1.0),
+        solver=SolverConfig(max_iters=30, u_init=0.01,
+                            min_planes_per_pose=1))
+    assert info["status"] == "ok"
+    assert info["loop_closure"]["n_edges"] > 0
+
+    Rg, pg = lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
+    _, t_init = metrics.pose_rsme(
+        *lie.gauge_fix(jnp.asarray(R0), jnp.asarray(p0)), Rg, pg)
+    _, t_ba = metrics.pose_rsme(
+        *lie.gauge_fix(jnp.asarray(R1), jnp.asarray(p1)), Rg, pg)
+    assert float(t_ba) < 0.2 * float(t_init)

@@ -335,3 +335,34 @@ def test_pgo_flow(square_revisit):
         SolverConfig(max_iters=30, u_init=0.01, min_planes_per_pose=1))
     _, t_ba = metrics.pose_rsme(*lie.gauge_fix(res.R, res.p), Rg, pg)
     assert float(t_ba) < 0.2 * float(t_init)
+
+
+def test_evaluate_relpose_scatter_matches_dense():
+    """The per-edge 12x12 scatter assembly IS the exact chart Hessian:
+    the cost is a sum of two-pose terms, so scattering per-edge
+    grads/Hessians must reproduce autodiff through the full 6W chart
+    (the O((6W)^2) oracle kept as evaluate_relpose_dense)."""
+    rng = np.random.default_rng(7)
+    W, E = 11, 20
+    R = np.stack([np.asarray(lie.so3_exp(jnp.asarray(rng.normal(0, 0.5, 3))))
+                  for _ in range(W)])
+    p = rng.normal(0, 2, (W, 3))
+    i = rng.integers(0, W, E)
+    j = (i + 1 + rng.integers(0, W - 1, E)) % W
+    Zr = np.stack([np.asarray(lie.so3_exp(jnp.asarray(rng.normal(0, 0.3, 3))))
+                   for _ in range(E)])
+    edges = PG.RelPoseEdges(
+        jnp.asarray(i, jnp.int32), jnp.asarray(j, jnp.int32),
+        jnp.asarray(Zr), jnp.asarray(rng.normal(0, 1, (E, 3))),
+        jnp.asarray(rng.uniform(0.5, 2, E)),
+        jnp.asarray(rng.uniform(0.5, 2, E)))
+    r1, J1, H1 = PG.evaluate_relpose(jnp.asarray(R), jnp.asarray(p), edges)
+    r0, J0, H0 = PG.evaluate_relpose_dense(
+        jnp.asarray(R), jnp.asarray(p), edges)
+    np.testing.assert_allclose(float(r1), float(r0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(J1), np.asarray(J0), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(H0), atol=1e-9)
+
+    r, J, H = PG.evaluate_relpose(
+        jnp.asarray(R), jnp.asarray(p), PG.RelPoseEdges.empty())
+    assert float(r) == 0.0 and J.shape == (6 * W,) and H.shape == (6 * W, 6 * W)
