@@ -56,19 +56,35 @@ class RelPoseEdges(NamedTuple):
                    w_tr=jnp.zeros((0,), dtype))
 
 
-def relpose_cost(R, p, edges: RelPoseEdges):
-    """Total weighted pose-graph cost (scalar)."""
+def _robust(chi2, delta):
+    """Huber in the residual-norm chart, parameterized in chi^2 units:
+    quadratic to chi^2 = delta, linear in ||r|| past it (gradient
+    continuous).  Pass a huge finite delta (not inf) for quadratic edges
+    — jax.grad of `where` NaN-poisons on inf in the untaken branch."""
+    s = jnp.sqrt(jnp.maximum(chi2, 1e-300))
+    d = jnp.sqrt(delta)
+    return jnp.where(chi2 <= delta, chi2, 2.0 * d * s - delta)
+
+
+def relpose_cost(R, p, edges: RelPoseEdges, delta=None):
+    """Total weighted pose-graph cost (scalar).
+
+    delta: optional (E,) per-edge Huber thresholds in chi^2 units
+    (None = pure quadratic, the BA-solver path)."""
     Ri = R[edges.i]
     Rj = R[edges.j]
     dR = jnp.einsum("eba,ebc->eac", Ri, Rj)          # R_i^T R_j
     rerr = lie.so3_log(jnp.einsum("eba,ebc->eac", edges.Zr, dR))
     dp = jnp.einsum("eba,eb->ea", Ri, p[edges.j] - p[edges.i])
     terr = dp - edges.Zp
-    return (jnp.sum(edges.w_rot * jnp.sum(rerr * rerr, -1))
-            + jnp.sum(edges.w_tr * jnp.sum(terr * terr, -1)))
+    chi2 = (edges.w_rot * jnp.sum(rerr * rerr, -1)
+            + edges.w_tr * jnp.sum(terr * terr, -1))
+    if delta is not None:
+        chi2 = _robust(chi2, delta)
+    return jnp.sum(chi2)
 
 
-def _edge_cost(eps, Ri, pi, Rj, pj, Zr, Zp, wr, wt):
+def _edge_cost(eps, Ri, pi, Rj, pj, Zr, Zp, wr, wt, delta):
     """One edge's cost as a function of its OWN 12 perturbation dims
     (eps = [eps_i, eps_j], each a left twist (w, t))."""
     dRi = lie.so3_exp(eps[:3])
@@ -79,10 +95,11 @@ def _edge_cost(eps, Ri, pi, Rj, pj, Zr, Zp, wr, wt):
     pnj = dRj @ pj + eps[9:12]
     rerr = lie.so3_log(Zr.T @ (Rni.T @ Rnj))
     terr = Rni.T @ (pnj - pni) - Zp
-    return wr * (rerr @ rerr) + wt * (terr @ terr)
+    chi2 = wr * (rerr @ rerr) + wt * (terr @ terr)
+    return _robust(chi2, delta)
 
 
-def evaluate_relpose(R, p, edges: RelPoseEdges):
+def evaluate_relpose(R, p, edges: RelPoseEdges, delta=None):
     """(res, J (6W,), H (6W, 6W)) in the left-update chart.
 
     The cost is a sum of per-edge terms, each touching exactly two poses,
@@ -90,6 +107,10 @@ def evaluate_relpose(R, p, edges: RelPoseEdges):
     grads / 12x12 Hessians — O(E * 12^2) work instead of the O(E * (6W)^2)
     of differentiating through the full 6W-dim chart (which made W~10^3
     pose-graph stages minutes-long on CPU; same values to roundoff).
+
+    delta: optional (E,) per-edge Huber thresholds (chi^2 units); the
+    exact Hessian of the robustified cost comes out of the same per-edge
+    autodiff for free.
     """
     W = R.shape[0]
     E = edges.i.shape[0]
@@ -98,8 +119,10 @@ def evaluate_relpose(R, p, edges: RelPoseEdges):
         z6 = jnp.zeros(6 * W, dtype)
         return jnp.zeros((), dtype), z6, jnp.zeros((6 * W, 6 * W), dtype)
 
+    if delta is None:
+        delta = jnp.full((E,), 1e30, dtype)
     eps0 = jnp.zeros((E, 12), dtype)
-    args = (edges.Zr, edges.Zp, edges.w_rot, edges.w_tr)
+    args = (edges.Zr, edges.Zp, edges.w_rot, edges.w_tr, delta)
     Ri, pi = R[edges.i], p[edges.i]
     Rj, pj = R[edges.j], p[edges.j]
     ecost = jax.vmap(_edge_cost)

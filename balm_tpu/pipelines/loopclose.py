@@ -106,6 +106,17 @@ class LoopConfig:
     # chain = smooth warp)
     chain_sigma_rot: float = 0.002   # [rad/step]
     chain_sigma_trans: float = 0.01  # [m/step]
+    # PGO edge treatment: loop edges keep their (x edge_weight) strength
+    # — against a stiff odometry chain, information-weight edges lose the
+    # tug-of-war and the loops never close (square study: t_ba regresses
+    # 0.014 -> 0.127 m at scale 0.1) — but get a Huber kernel sized to
+    # the verification accuracy, because the edge-error TAIL (city study:
+    # median 0.14 deg/12 mm but max 2.0 deg/0.12 m) otherwise kinks the
+    # chain at full weight (artifacts/loopclose_city.json ablation).
+    # Edges inside the Huber point behave exactly as before.
+    pgo_edge_scale: float = 1.0      # scale on detect()'s edge weights
+    pgo_robust_rot: float = 0.02     # [rad] Huber point, rotation part
+    pgo_robust_trans: float = 0.05   # [m] Huber point, translation part
     # pairwise consistency (PCM-style): two edges whose endpoints are
     # within pcm_span scans of each other must agree through the current
     # estimate's short-span relative motion.  Self-similar scenes (a
@@ -501,14 +512,16 @@ def chain_edges(R, p, sigma_rot: float, sigma_trans: float):
 
 
 def pose_graph_optimize(R, p, edges: PG.RelPoseEdges, *,
-                        max_iters: int = 15, u0: float = 1e-6,
+                        delta=None, max_iters: int = 15, u0: float = 1e-6,
                         rel_tol: float = 1e-9):
     """Damped-Newton solve of the pure pose graph (no plane factors).
 
     Same left-perturbation chart and damping schedule family as
     solver/lm.py, host-stepped (the graph solve is a one-time trajectory
     correction, not the BA hot loop).  Gauge: re-anchored to pose 0's
-    input value.  Returns (R, p, info).
+    input value.  delta: optional (E,) per-edge Huber thresholds (chi^2
+    units) — see close_loops for how loop edges get theirs.  Returns
+    (R, p, info).
     """
     import jax
 
@@ -518,8 +531,8 @@ def pose_graph_optimize(R, p, edges: PG.RelPoseEdges, *,
     p = jnp.asarray(p, jnp.float64)
     W = R.shape[0]
 
-    step = jax.jit(lambda R_, p_: PG.evaluate_relpose(R_, p_, edges))
-    trial = jax.jit(lambda R_, p_: PG.relpose_cost(R_, p_, edges))
+    step = jax.jit(lambda R_, p_: PG.evaluate_relpose(R_, p_, edges, delta))
+    trial = jax.jit(lambda R_, p_: PG.relpose_cost(R_, p_, edges, delta))
     u, v = u0, 2.0
     res1, J, H = step(R, p)
     res1 = float(res1)
@@ -583,7 +596,17 @@ def close_loops(scans, R, p, cfg: LoopConfig = LoopConfig(), *,
     if edges is None:
         return np.asarray(R), np.asarray(p), None, info
     chain = chain_edges(R, p, cfg.chain_sigma_rot, cfg.chain_sigma_trans)
+    scale = cfg.pgo_edge_scale
+    loop_pg = edges._replace(w_rot=edges.w_rot * scale,
+                             w_tr=edges.w_tr * scale)
+    # Huber point at the verification-accuracy chi^2 of EACH edge (the
+    # weights carry the inlier count, so this adapts per edge)
+    delta = jnp.concatenate([
+        jnp.full((chain.i.shape[0],), 1e30, jnp.float64),
+        loop_pg.w_rot * cfg.pgo_robust_rot ** 2
+        + loop_pg.w_tr * cfg.pgo_robust_trans ** 2,
+    ])
     R1, p1, pinfo = pose_graph_optimize(
-        R, p, PG.concat_edges(chain, edges))
+        R, p, PG.concat_edges(chain, loop_pg), delta=delta)
     info["pgo"] = pinfo
     return R1, p1, edges, info

@@ -96,16 +96,15 @@ def main(W=1200):
     vcfg = VoxelConfig(voxel_size=1.0)
 
     # --- the recommended flow: detect -> pose-graph optimize -> BA ---
+    # close_loops applies the production PGO treatment: loop edges at
+    # x edge_weight strength under a Huber kernel sized to the
+    # verification accuracy — the robust cap on the edge-error TAIL is
+    # what keeps the chain kink-free (see the ablation in the artifact)
     t0 = time.perf_counter()
-    lcfg = LC.LoopConfig()
-    chain = LC.chain_edges(R0, p0, lcfg.chain_sigma_rot,
-                           lcfg.chain_sigma_trans)
-    from balm_tpu.ops import pose_graph as PG
-    Rp, pp, pinfo = LC.pose_graph_optimize(
-        R0, p0, PG.concat_edges(chain, edges))
+    Rp, pp, _, cinfo = LC.close_loops(scans, R0, p0, LC.LoopConfig())
     result["pgo"] = {
         "total_s": round(time.perf_counter() - t0, 1),
-        "rsme_deg_m": rsme(Rp, pp), **pinfo,
+        "rsme_deg_m": rsme(Rp, pp), **cinfo["pgo"],
     }
     print("pgo", result["pgo"], flush=True)
     save()

@@ -366,3 +366,51 @@ def test_evaluate_relpose_scatter_matches_dense():
     r, J, H = PG.evaluate_relpose(
         jnp.asarray(R), jnp.asarray(p), PG.RelPoseEdges.empty())
     assert float(r) == 0.0 and J.shape == (6 * W,) and H.shape == (6 * W, 6 * W)
+
+
+def test_robust_edge_cap():
+    """Huber-robustified edges: (a) chi2=0 stays NaN-free through grad,
+    (b) inside the Huber point the cost/derivatives equal the quadratic
+    form exactly, (c) an outlier edge's gradient norm is capped (stops
+    growing with the error) while the quadratic one keeps growing."""
+    rng = np.random.default_rng(11)
+    W = 4
+    R = np.stack([np.eye(3)] * W)
+    p = rng.normal(0, 1, (W, 3))
+
+    def one_edge(Zp_err, w=100.0):
+        Zr = np.eye(3)[None]
+        Zp = (p[1] - p[0] + np.array([Zp_err, 0, 0]))[None]
+        return PG.RelPoseEdges(
+            jnp.asarray([0], jnp.int32), jnp.asarray([1], jnp.int32),
+            jnp.asarray(Zr), jnp.asarray(Zp),
+            jnp.asarray([w]), jnp.asarray([w]))
+
+    delta = jnp.asarray([1.0])   # chi2 Huber point: |err| = 0.1 at w=100
+
+    # (a) exactly-satisfied edge: zero cost, finite derivatives
+    r, J, H = PG.evaluate_relpose(jnp.asarray(R), jnp.asarray(p),
+                                  one_edge(0.0), delta)
+    assert float(r) == 0.0
+    assert np.all(np.isfinite(np.asarray(J))) and np.all(
+        np.isfinite(np.asarray(H)))
+
+    # (b) inside the Huber point: identical to quadratic
+    e = one_edge(0.05)           # chi2 = 100 * 0.0025 = 0.25 < 1
+    rr, Jr, Hr = PG.evaluate_relpose(jnp.asarray(R), jnp.asarray(p), e, delta)
+    rq, Jq, Hq = PG.evaluate_relpose(jnp.asarray(R), jnp.asarray(p), e)
+    np.testing.assert_allclose(float(rr), float(rq), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(Jr), np.asarray(Jq), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Hr), np.asarray(Hq), atol=1e-12)
+
+    # (c) outliers: robust gradient saturates, quadratic grows linearly
+    def gnorm(err, robust):
+        d = delta if robust else None
+        _, J, _ = PG.evaluate_relpose(jnp.asarray(R), jnp.asarray(p),
+                                      one_edge(err), d)
+        return float(jnp.linalg.norm(J))
+
+    g1, g2 = gnorm(0.5, True), gnorm(5.0, True)
+    q1, q2 = gnorm(0.5, False), gnorm(5.0, False)
+    assert q2 > 5 * q1                  # quadratic: grad ~ err
+    assert g2 < 1.5 * g1                # robust: grad ~ const past delta
