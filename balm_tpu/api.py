@@ -57,9 +57,19 @@ def optimize_poses(
         from .pipelines import loopclose as LC
 
         lcfg = loop_config if loop_config is not None else LC.LoopConfig()
-        R, p, lc_edges, lc_info = LC.close_loops(
-            scans, np.asarray(R, np.float64), np.asarray(p, np.float64),
-            lcfg, verbose=verbose)
+        # Pin detect+PGO to CPU f64 regardless of the ambient regime:
+        # (a) with x64 off (the TPU default) pose_graph_optimize's f64
+        # asarray would silently truncate to f32, which cannot hold the
+        # stiff-chain (w~2.5e5) normal equations; (b) the host-stepped
+        # damped-Newton loop fetches scalars between dispatches, which
+        # through the tunneled TPU poisons every later BA dispatch ~16x
+        # (artifacts/transfer_poisoning.md).  CPU f64 sidesteps both; the
+        # stage is seconds of host work either way.
+        with jax.enable_x64(), jax.default_device(jax.devices("cpu")[0]):
+            R, p, lc_edges, lc_info = LC.close_loops(
+                scans, np.asarray(R, np.float64), np.asarray(p, np.float64),
+                lcfg, verbose=verbose)
+        R, p = np.asarray(R, np.float64), np.asarray(p, np.float64)
         loop_info = {
             "n_edges": 0 if lc_edges is None else int(
                 np.asarray(lc_edges.i).shape[0]),

@@ -142,25 +142,77 @@ struct Cell {
 
 extern "C" {
 
+// Fused scan concatenation + per-scan rigid transform.
+//   scans:   array of n_scans pointers to (lens[i], 3) f64 body points
+//   R (n_scans, 3, 3) row-major, p (n_scans, 3)
+// Outputs (caller-allocated, N = sum(lens)):
+//   body (N, 3), world (N, 3) = R[s] @ body + p[s], scan_id (N,)
+// Replaces the numpy concatenate + per-scan matmul prologue (~3.8 s of
+// page-faulting python-side copies at 13.4M points -> one parallel pass).
+void prepare_points(
+    const double* const* scans, const int64_t* lens, int64_t n_scans,
+    const double* R, const double* p,
+    double* body, double* world, int64_t* scan_id) {
+  std::vector<int64_t> ofs(n_scans + 1, 0);
+  for (int64_t s = 0; s < n_scans; ++s) ofs[s + 1] = ofs[s] + lens[s];
+  std::atomic<int64_t> next{0};
+  int T = num_threads();
+  std::vector<std::thread> ts;
+  for (int t = 0; t < T; ++t) {
+    ts.emplace_back([&] {
+      for (;;) {
+        int64_t s = next.fetch_add(1);
+        if (s >= n_scans) return;
+        const double* src = scans[s];
+        const double* Rs = R + 9 * s;
+        const double* ps = p + 3 * s;
+        double* b = body + 3 * ofs[s];
+        double* w = world + 3 * ofs[s];
+        int64_t* id = scan_id + ofs[s];
+        int64_t m = lens[s];
+        std::memcpy(b, src, sizeof(double) * 3 * m);
+        for (int64_t i = 0; i < m; ++i) {
+          double x = src[3 * i], y = src[3 * i + 1], z = src[3 * i + 2];
+          w[3 * i + 0] = Rs[0] * x + Rs[1] * y + Rs[2] * z + ps[0];
+          w[3 * i + 1] = Rs[3] * x + Rs[4] * y + Rs[5] * z + ps[1];
+          w[3 * i + 2] = Rs[6] * x + Rs[7] * y + Rs[8] * z + ps[2];
+          id[i] = s;
+        }
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+}
+
 // Adaptive voxelization.  Inputs:
 //   world  (n, 3) points under initial poses
 //   body   (n, 3) body-frame points
-//   scan   (n,) scan index per point, in [0, n_scans)
+//   scan   (n,) scan index per point, in [0, n_scans), ascending within
+//          any equal-key run (guaranteed: input is scan-concatenated and
+//          the radix sort is stable), used for the min_observers gate
 // Parameters mirror VoxelConfig (grid.py / bavoxel.hpp:8-19).
 // Outputs (caller-allocated):
-//   point_leaf (n,)  leaf id or -1
-//   moments (max_leaves, n_scans, 10): xx xy xz yy yz zz x y z count
+//   point_leaf (n,)  ADMITTED leaf id or -1
+//   moments (max_leaves, n_scans, 16): 4x4 symmetric homogeneous moment
+//     blocks [[xx xy xz x],[. yy yz y],[. . zz z],[. . . count]] — the
+//     PlaneFactors.C layout, emitted directly so the caller pads in
+//     place with zero further copies
+//   coe (max_leaves,): factor weights (point_count or unit,
+//     bavoxel.hpp:41-45)
 //   leaf_center (max_leaves, 3), leaf_layer (max_leaves),
 //   leaf_decision (max_leaves)
-// Returns number of leaves, or -(needed) if max_leaves is too small.
-int64_t voxelize_adaptive(
+// The min_observers admission gate (bavoxel.hpp:33-37) is applied at
+// emission: rejected plane cells never consume a leaf id.
+// Returns number of admitted leaves, or -(needed) if max_leaves is too
+// small.
+int64_t voxelize_factors(
     const double* world, const double* body, const int64_t* scan,
     int64_t n, int64_t n_scans,
     double voxel_size, int64_t layer_limit,
     const double* eigen_ratio, int64_t n_ratio,
-    int64_t min_points,
+    int64_t min_points, int64_t min_observers, int64_t unit_coe,
     int64_t* point_leaf,
-    double* moments, int64_t max_leaves,
+    double* moments, double* coe, int64_t max_leaves,
     double* leaf_center, int64_t* leaf_layer, double* leaf_decision) {
   std::vector<int64_t> ord(n);
   std::vector<uint64_t> keys(n);
@@ -249,12 +301,25 @@ int64_t voxelize_adaptive(
         cent[3 * c + 0] = vb[0];
         cent[3 * c + 1] = vb[1];
         cent[3 * c + 2] = vb[2];
-        if (d < ratio)
-          cls[c] = 1;
-        else if (layer < layer_limit)
+        if (d < ratio) {
+          // min_observers admission at classify time: scan ids are
+          // ascending within a run (stable sort over scan-concatenated
+          // input), so distinct scans = transitions + 1
+          int64_t obs = 1;
+          int64_t prev = scan[ord[cell.start]];
+          for (int64_t t = cell.start + 1; t < cell.start + cell.count; ++t) {
+            int64_t s = scan[ord[t]];
+            if (s != prev) {
+              ++obs;
+              prev = s;
+            }
+          }
+          cls[c] = obs >= min_observers ? 1 : 0;
+        } else if (layer < layer_limit) {
           cls[c] = 2;
-        else
+        } else {
           cls[c] = 0;
+        }
       }
     });
 
@@ -280,24 +345,37 @@ int64_t voxelize_adaptive(
         int64_t lid = leaf_of_cell[c];
         if (lid < 0) continue;
         const Cell& cell = cells[c];
-        double* mom = moments + lid * n_scans * 10;
-        std::memset(mom, 0, sizeof(double) * n_scans * 10);
+        double* mom = moments + lid * n_scans * 16;
+        std::memset(mom, 0, sizeof(double) * n_scans * 16);
         for (int64_t t = cell.start; t < cell.start + cell.count; ++t) {
           int64_t pi = ord[t];
           point_leaf[pi] = lid;
           const double* pb = body + 3 * pi;
-          double* m = mom + scan[pi] * 10;
-          m[0] += pb[0] * pb[0];
-          m[1] += pb[0] * pb[1];
-          m[2] += pb[0] * pb[2];
-          m[3] += pb[1] * pb[1];
-          m[4] += pb[1] * pb[2];
-          m[5] += pb[2] * pb[2];
-          m[6] += pb[0];
-          m[7] += pb[1];
-          m[8] += pb[2];
-          m[9] += 1.0;
+          double x = pb[0], y = pb[1], z = pb[2];
+          double* m = mom + scan[pi] * 16;   // 4x4 row-major
+          m[0] += x * x;
+          m[1] += x * y;
+          m[2] += x * z;
+          m[3] += x;
+          m[5] += y * y;
+          m[6] += y * z;
+          m[7] += y;
+          m[10] += z * z;
+          m[11] += z;
+          m[15] += 1.0;
         }
+        // mirror the symmetric lower triangle
+        for (int64_t s = 0; s < n_scans; ++s) {
+          double* m = mom + s * 16;
+          if (m[15] == 0.0) continue;
+          m[4] = m[1];
+          m[8] = m[2];
+          m[9] = m[6];
+          m[12] = m[3];
+          m[13] = m[7];
+          m[14] = m[11];
+        }
+        coe[lid] = unit_coe ? 1.0 : (double)cell.count;
       }
     });
 

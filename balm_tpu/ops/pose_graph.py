@@ -60,10 +60,22 @@ def _robust(chi2, delta):
     """Huber in the residual-norm chart, parameterized in chi^2 units:
     quadratic to chi^2 = delta, linear in ||r|| past it (gradient
     continuous).  Pass a huge finite delta (not inf) for quadratic edges
-    — jax.grad of `where` NaN-poisons on inf in the untaken branch."""
-    s = jnp.sqrt(jnp.maximum(chi2, 1e-300))
+    — jax.grad of `where` NaN-poisons on inf in the untaken branch.
+
+    Double-where safe-sqrt: an exactly-satisfied edge (chi2 == 0, e.g.
+    stationary consecutive poses making a chain edge exact) must not put
+    sqrt(0) in the untaken branch — its infinite derivative NaN-poisons
+    grad/Hessian through the `where` reverse pass.  (A fixed 1e-300
+    floor underflows to 0 in float32; even finfo.tiny leaves the
+    second-derivative x^{-3/2} term to overflow to inf in f32.)  The
+    untaken branch is evaluated at chi2=1 instead, where every
+    derivative order is finite; the taken sqrt branch only sees
+    chi2 > delta > 0."""
+    quad = chi2 <= delta
+    safe = jnp.where(quad, jnp.ones_like(chi2), chi2)
+    s = jnp.sqrt(safe)
     d = jnp.sqrt(delta)
-    return jnp.where(chi2 <= delta, chi2, 2.0 * d * s - delta)
+    return jnp.where(quad, chi2, 2.0 * d * s - delta)
 
 
 def relpose_cost(R, p, edges: RelPoseEdges, delta=None):
@@ -99,18 +111,41 @@ def _edge_cost(eps, Ri, pi, Rj, pj, Zr, Zp, wr, wt, delta):
     return _robust(chi2, delta)
 
 
-def evaluate_relpose(R, p, edges: RelPoseEdges, delta=None):
-    """(res, J (6W,), H (6W, 6W)) in the left-update chart.
+def evaluate_relpose_blocks(R, p, edges: RelPoseEdges, delta=None):
+    """Per-edge exact derivatives: (res, g (E,12), h (E,12,12)).
 
-    The cost is a sum of per-edge terms, each touching exactly two poses,
-    so the exact global derivatives are scatter-adds of per-edge 12-dim
-    grads / 12x12 Hessians — O(E * 12^2) work instead of the O(E * (6W)^2)
-    of differentiating through the full 6W-dim chart (which made W~10^3
-    pose-graph stages minutes-long on CPU; same values to roundoff).
+    The raw material for BOTH the dense scatter assembly
+    (`evaluate_relpose`) and the sparse block solver
+    (pipelines/loopclose.pose_graph_optimize): each edge touches exactly
+    two poses, so its 12-dim grad / 12x12 Hessian in the left-update
+    chart is the complete global contribution — O(E * 12^2) work.
 
     delta: optional (E,) per-edge Huber thresholds (chi^2 units); the
     exact Hessian of the robustified cost comes out of the same per-edge
     autodiff for free.
+    """
+    E = edges.i.shape[0]
+    dtype = R.dtype
+    if delta is None:
+        delta = jnp.full((E,), 1e30, dtype)
+    eps0 = jnp.zeros((E, 12), dtype)
+    args = (edges.Zr, edges.Zp, edges.w_rot, edges.w_tr, delta)
+    Ri, pi = R[edges.i], p[edges.i]
+    Rj, pj = R[edges.j], p[edges.j]
+    res = jnp.sum(jax.vmap(_edge_cost)(eps0, Ri, pi, Rj, pj, *args))
+    g = jax.vmap(jax.grad(_edge_cost))(eps0, Ri, pi, Rj, pj, *args)
+    h = jax.vmap(jax.hessian(_edge_cost))(eps0, Ri, pi, Rj, pj, *args)
+    return res, g, h
+
+
+def evaluate_relpose(R, p, edges: RelPoseEdges, delta=None):
+    """(res, J (6W,), H (6W, 6W)) in the left-update chart.
+
+    Dense scatter of `evaluate_relpose_blocks` — same values to roundoff
+    as autodiff through the full 6W-dim chart (kept as
+    `evaluate_relpose_dense`, the equality oracle).  For large W prefer
+    the sparse solver in pipelines/loopclose.py, which consumes the
+    blocks directly and never materializes (6W)^2.
     """
     W = R.shape[0]
     E = edges.i.shape[0]
@@ -119,16 +154,7 @@ def evaluate_relpose(R, p, edges: RelPoseEdges, delta=None):
         z6 = jnp.zeros(6 * W, dtype)
         return jnp.zeros((), dtype), z6, jnp.zeros((6 * W, 6 * W), dtype)
 
-    if delta is None:
-        delta = jnp.full((E,), 1e30, dtype)
-    eps0 = jnp.zeros((E, 12), dtype)
-    args = (edges.Zr, edges.Zp, edges.w_rot, edges.w_tr, delta)
-    Ri, pi = R[edges.i], p[edges.i]
-    Rj, pj = R[edges.j], p[edges.j]
-    ecost = jax.vmap(_edge_cost)
-    res = jnp.sum(ecost(eps0, Ri, pi, Rj, pj, *args))
-    g = jax.vmap(jax.grad(_edge_cost))(eps0, Ri, pi, Rj, pj, *args)
-    h = jax.vmap(jax.hessian(_edge_cost))(eps0, Ri, pi, Rj, pj, *args)
+    res, g, h = evaluate_relpose_blocks(R, p, edges, delta)
 
     J = jnp.zeros((W, 6), dtype)
     J = J.at[edges.i].add(g[:, :6]).at[edges.j].add(g[:, 6:])

@@ -511,17 +511,64 @@ def chain_edges(R, p, sigma_rot: float, sigma_trans: float):
     )
 
 
+def _sparse_newton_step(ei, ej, g, h, W, u):
+    """One damped-Newton direction from per-edge blocks, never
+    materializing (6W)^2.
+
+    The pose graph is a chain plus a few loop edges, so H is
+    block-tridiagonal + sparse off-band 6x6 blocks — a textbook sparse
+    system (the dense LU this replaces took 140 s at W=1200,
+    artifacts/loopclose_city.json r2; this path is milliseconds).
+    Damping uses D = diag(max(diag(H), 0)) + 1e-12: the exact Hessian of
+    the Huber-robustified cost can have NEGATIVE diagonal entries past
+    the Huber point, and scaling those negatively would leave H + uD
+    indefinite at every u (LM stall on outlier-heavy graphs).
+
+    Returns (J (6W,), dx (6W,), Ddiag (6W,)).
+    """
+    from scipy import sparse
+    from scipy.sparse.linalg import splu
+
+    J = np.zeros((W, 6))
+    np.add.at(J, ei, g[:, :6])
+    np.add.at(J, ej, g[:, 6:])
+    J = J.reshape(6 * W)
+
+    diag_blocks = np.zeros((W, 6, 6))
+    np.add.at(diag_blocks, ei, h[:, :6, :6])
+    np.add.at(diag_blocks, ej, h[:, 6:, 6:])
+    Ddiag = np.maximum(diag_blocks[:, np.arange(6), np.arange(6)], 0.0
+                       ).reshape(6 * W) + 1e-12
+
+    damped = diag_blocks.copy()
+    damped[:, np.arange(6), np.arange(6)] += u * Ddiag.reshape(W, 6)
+    rows = np.concatenate([np.arange(W), ei, ej])
+    cols = np.concatenate([np.arange(W), ej, ei])
+    blocks = np.concatenate([damped, h[:, :6, 6:], h[:, 6:, :6]])
+    r6 = np.arange(6)
+    bi = (rows[:, None, None] * 6 + r6[None, :, None]
+          + np.zeros((1, 1, 6), np.int64)).reshape(-1)
+    bj = (cols[:, None, None] * 6 + r6[None, None, :]
+          + np.zeros((1, 6, 1), np.int64)).reshape(-1)
+    A = sparse.coo_matrix((blocks.reshape(-1), (bi, bj)),
+                          shape=(6 * W, 6 * W)).tocsc()
+    dx = splu(A).solve(-J)
+    return J, dx, Ddiag
+
+
 def pose_graph_optimize(R, p, edges: PG.RelPoseEdges, *,
                         delta=None, max_iters: int = 15, u0: float = 1e-6,
-                        rel_tol: float = 1e-9):
+                        rel_tol: float = 1e-9, solver: str = "sparse"):
     """Damped-Newton solve of the pure pose graph (no plane factors).
 
     Same left-perturbation chart and damping schedule family as
     solver/lm.py, host-stepped (the graph solve is a one-time trajectory
     correction, not the BA hot loop).  Gauge: re-anchored to pose 0's
     input value.  delta: optional (E,) per-edge Huber thresholds (chi^2
-    units) — see close_loops for how loop edges get theirs.  Returns
-    (R, p, info).
+    units) — see close_loops for how loop edges get theirs.
+    solver: 'sparse' (block-sparse splu from per-edge 12x12 blocks, the
+    default) or 'dense' (the (6W)^2 LU, kept as the equality oracle —
+    identical directions to roundoff).  Returns (R, p, info).
     """
     import jax
 
@@ -530,24 +577,45 @@ def pose_graph_optimize(R, p, edges: PG.RelPoseEdges, *,
     R = jnp.asarray(R, jnp.float64)
     p = jnp.asarray(p, jnp.float64)
     W = R.shape[0]
+    sparse_path = solver == "sparse"
+    ei = np.asarray(edges.i)
+    ej = np.asarray(edges.j)
 
-    step = jax.jit(lambda R_, p_: PG.evaluate_relpose(R_, p_, edges, delta))
+    if sparse_path:
+        blocks_fn = jax.jit(
+            lambda R_, p_: PG.evaluate_relpose_blocks(R_, p_, edges, delta))
+    else:
+        step = jax.jit(
+            lambda R_, p_: PG.evaluate_relpose(R_, p_, edges, delta))
     trial = jax.jit(lambda R_, p_: PG.relpose_cost(R_, p_, edges, delta))
     u, v = u0, 2.0
-    res1, J, H = step(R, p)
+    if sparse_path:
+        res1, g, h = blocks_fn(R, p)
+        g, h = np.asarray(g), np.asarray(h)
+    else:
+        res1, J, H = step(R, p)
     res1 = float(res1)
     info = {"initial_cost": res1, "iters": 0, "accepted": 0}
-    eye = jnp.eye(6 * W, dtype=jnp.float64)
     calc = False
     for _ in range(max_iters):
         if calc:
-            res1_, J, H = step(R, p)
+            if sparse_path:
+                res1_, g, h = blocks_fn(R, p)
+                g, h = np.asarray(g), np.asarray(h)
+            else:
+                res1_, J, H = step(R, p)
             res1 = float(res1_)
-        D = jnp.diag(jnp.diag(H)) + 1e-12 * eye
-        dx = jnp.linalg.solve(H + u * D, -J)
+        if sparse_path:
+            J, dx, Ddiag = _sparse_newton_step(ei, ej, g, h, int(W), u)
+            dx = jnp.asarray(dx)
+            uDdx_mJ = jnp.asarray(u * (Ddiag * np.asarray(dx)) - J)
+        else:
+            Ddiag = jnp.maximum(jnp.diag(H), 0.0) + 1e-12
+            dx = jnp.linalg.solve(H + u * jnp.diag(Ddiag), -J)
+            uDdx_mJ = u * (Ddiag * dx) - J
         Rn, pn = lie.se3_left_update(R, p, dx.reshape(W, 6))
         res2 = float(trial(Rn, pn))
-        q1 = float(0.5 * dx @ (u * (D @ dx) - J))
+        q1 = float(0.5 * jnp.asarray(dx) @ uDdx_mJ)
         rho = (res1 - res2) / q1 if q1 != 0 else -1.0
         info["iters"] += 1
         if np.isfinite(res2) and res2 < res1:
@@ -581,7 +649,7 @@ def pose_graph_optimize(R, p, edges: PG.RelPoseEdges, *,
 
 
 def close_loops(scans, R, p, cfg: LoopConfig = LoopConfig(), *,
-                verbose: bool = False):
+                verbose: bool = False, edges=None, detect_info=None):
     """Detect loops and return the pose-graph-corrected trajectory.
 
     The classic SLAM decomposition: loop edges + the odometry chain are
@@ -591,8 +659,15 @@ def close_loops(scans, R, p, cfg: LoopConfig = LoopConfig(), *,
     already inside the correct association basin.  Returns
     (R, p, edges, info); when no loop survives verification the input
     poses are returned unchanged.
+
+    edges/detect_info: precomputed `detect(...)` results — pass them when
+    the caller already ran detection (e.g. for edge-accuracy stats) so
+    the PGO stage is not timed with a redundant second detect pass.
     """
-    edges, info = detect(scans, R, p, cfg, verbose=verbose)
+    if edges is None and detect_info is None:
+        edges, info = detect(scans, R, p, cfg, verbose=verbose)
+    else:
+        info = dict(detect_info or {})
     if edges is None:
         return np.asarray(R), np.asarray(p), None, info
     chain = chain_edges(R, p, cfg.chain_sigma_rot, cfg.chain_sigma_trans)

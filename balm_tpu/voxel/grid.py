@@ -104,10 +104,32 @@ def voxelize(
     W = len(points)
     if W == 0:
         raise ValueError("voxelize needs at least one scan")
-    scan_id = np.concatenate(
-        [np.full(len(pts), i, np.int64) for i, pts in enumerate(points)]
-    )
-    body = np.concatenate(points).astype(dtype, copy=False)
+    if weighting not in ("point_count", "unit"):
+        raise ValueError(weighting)
+    if backend == "auto":
+        from .. import native
+        backend = "native" if native.available() else "numpy"
+
+    if backend == "native" and dtype == np.float64:
+        from .. import native
+        # fused concat + per-scan rigid transform, one parallel C++ pass
+        body, world, scan_id = native.prepare_points(points, R, p)
+    else:
+        scan_id = np.concatenate(
+            [np.full(len(pts), i, np.int64) for i, pts in enumerate(points)]
+        )
+        body = np.concatenate(points).astype(dtype, copy=False)
+        # per-scan transform: avoids gathering a (N, 3, 3) rotation array
+        world = np.empty_like(body)
+        ofs = 0
+        Rd = R.astype(dtype, copy=False)
+        pd = p.astype(dtype, copy=False)
+        for i, pts in enumerate(points):
+            n = len(pts)
+            seg = world[ofs:ofs + n]
+            np.matmul(body[ofs:ofs + n], Rd[i].T, out=seg)
+            seg += pd[i]
+            ofs += n
     if len(body):
         # one-pass check (min/max propagate NaN, expose inf): non-finite
         # points silently poison cluster moments downstream.  Lidar
@@ -118,34 +140,38 @@ def voxelize(
             raise ValueError(
                 "non-finite point coordinates in input scans; filter "
                 "invalid returns first (io/pcd.read_pcd_xyz does)")
-    # per-scan transform: avoids gathering a (N, 3, 3) rotation array
-    world = np.empty_like(body)
-    ofs = 0
-    Rd = R.astype(dtype, copy=False)
-    pd = p.astype(dtype, copy=False)
-    for i, pts in enumerate(points):
-        n = len(pts)
-        seg = world[ofs:ofs + n]
-        np.matmul(body[ofs:ofs + n], Rd[i].T, out=seg)
-        seg += pd[i]
-        ofs += n
     n_pts = len(body)
 
-    if backend == "auto":
-        from .. import native
-        backend = "native" if native.available() else "numpy"
     if backend == "native":
         from .. import native
 
-        L, point_leaf, C_all, centers_all, layers_all, decisions_all = (
-            native.voxelize_adaptive(
+        L, point_leaf, Cp, coep, centp, layers_all, decisions_all = (
+            native.voxelize_factors(
                 world, body, scan_id, W, cfg.voxel_size, cfg.layer_limit,
                 np.asarray(cfg.eigen_ratio, np.float64), cfg.min_points,
+                cfg.min_observers, weighting=weighting, pad_to=pad_to,
             )
         )
-        return _assemble(
-            C_all, centers_all, layers_all, decisions_all, point_leaf,
-            scan_id, W, cfg, dtype, pad_to, weighting,
+        Gpad = len(coep)
+        if dtype != np.float64:
+            Cp = Cp.astype(dtype)
+            coep = coep.astype(dtype)
+            centp = centp.astype(dtype)
+        f = PlaneFactors(
+            C=Cp,
+            Cfix=np.zeros((Gpad, 4, 4), dtype),
+            coe=coep,
+            centers=centp,
+            body_centers=np.zeros((Gpad, W, 3), dtype),
+        )
+        return VoxelizeResult(
+            factors=f,
+            num_planes=L,
+            point_leaf=point_leaf,
+            point_scan=scan_id,
+            leaf_center=centp[:L],
+            leaf_layer=layers_all,
+            leaf_decision=decisions_all,
         )
 
     # --- root voxel hash (cut_voxel, bavoxel.hpp:1178-1184) ---

@@ -99,9 +99,12 @@ def main(W=1200):
     # close_loops applies the production PGO treatment: loop edges at
     # x edge_weight strength under a Huber kernel sized to the
     # verification accuracy — the robust cap on the edge-error TAIL is
-    # what keeps the chain kink-free (see the ablation in the artifact)
+    # what keeps the chain kink-free (see the ablation in the artifact).
+    # Detection already ran above (edge-accuracy stats); pass it through
+    # so this block times the pose-graph stage alone.
     t0 = time.perf_counter()
-    Rp, pp, _, cinfo = LC.close_loops(scans, R0, p0, LC.LoopConfig())
+    Rp, pp, _, cinfo = LC.close_loops(scans, R0, p0, LC.LoopConfig(),
+                                      edges=edges, detect_info=info)
     result["pgo"] = {
         "total_s": round(time.perf_counter() - t0, 1),
         "rsme_deg_m": rsme(Rp, pp), **cinfo["pgo"],

@@ -414,3 +414,69 @@ def test_robust_edge_cap():
     q1, q2 = gnorm(0.5, False), gnorm(5.0, False)
     assert q2 > 5 * q1                  # quadratic: grad ~ err
     assert g2 < 1.5 * g1                # robust: grad ~ const past delta
+
+
+def test_robust_edge_f32_exact_chain_nan_free():
+    """f32 regression (ADVICE r2): the production TPU regime runs with
+    x64 off, where a fixed 1e-300 sqrt floor underflows to 0 — an
+    exactly-satisfied edge (chi2 == 0, e.g. stationary consecutive poses)
+    then NaN-poisons J/H through the sqrt-at-zero `where` reverse pass,
+    which silently no-ops every PGO/edge-constrained Newton step.  Runs
+    the chi2=0 edge in explicit float32 through BOTH the delta=None
+    (quadratic, routed via _robust with delta=1e30) and the Huber path."""
+    W = 3
+    R = jnp.asarray(np.stack([np.eye(3)] * W), jnp.float32)
+    p = jnp.asarray(np.zeros((W, 3)), jnp.float32)   # stationary chain
+    edges = PG.RelPoseEdges(
+        jnp.asarray([0, 1], jnp.int32), jnp.asarray([1, 2], jnp.int32),
+        jnp.asarray(np.stack([np.eye(3)] * 2), jnp.float32),
+        jnp.asarray(np.zeros((2, 3)), jnp.float32),
+        jnp.asarray([1.0, 1.0], jnp.float32),
+        jnp.asarray([1.0, 1.0], jnp.float32))
+    for delta in (None, jnp.asarray([1.0, 1.0], jnp.float32)):
+        r, J, H = PG.evaluate_relpose(R, p, edges, delta)
+        assert float(r) == 0.0
+        assert np.all(np.isfinite(np.asarray(J)))
+        assert np.all(np.isfinite(np.asarray(H)))
+
+
+def test_pose_graph_sparse_matches_dense():
+    """The sparse block solver (chain + loop edges -> block-tridiagonal
+    + off-band splu) must reproduce the dense (6W)^2 LU path exactly:
+    same damped-Newton directions, same accept decisions, same final
+    trajectory.  The dense path is kept solely as this oracle."""
+    rng = np.random.default_rng(3)
+    W = 40
+    # noisy circle trajectory with a few long-range loop edges
+    th = np.linspace(0, 2 * np.pi, W, endpoint=False)
+    p_gt = np.stack([10 * np.cos(th), 10 * np.sin(th), 0 * th], -1)
+    R_gt = np.stack([np.asarray(lie.so3_exp(jnp.asarray([0, 0, t])))
+                     for t in th])
+    R0 = np.stack([
+        np.asarray(lie.so3_exp(jnp.asarray(rng.normal(0, 0.02, 3)))) @ R_gt[k]
+        for k in range(W)])
+    p0 = p_gt + rng.normal(0, 0.05, (W, 3))
+
+    chain = LC.chain_edges(R_gt, p_gt, 0.01, 0.02)
+    li = np.asarray([0, 5, 12], np.int32)
+    lj = np.asarray([W // 2, W // 2 + 5, W - 3], np.int32)
+    Zr = np.einsum("eba,ebc->eac", R_gt[li], R_gt[lj])
+    Zp = np.einsum("eba,eb->ea", R_gt[li],
+                   p_gt[lj] - p_gt[li]) + rng.normal(0, 0.01, (3, 3))
+    loops = PG.RelPoseEdges(
+        jnp.asarray(li), jnp.asarray(lj), jnp.asarray(Zr), jnp.asarray(Zp),
+        jnp.full((3,), 100.0), jnp.full((3,), 100.0))
+    edges = PG.concat_edges(chain, loops)
+    delta = jnp.concatenate([jnp.full((W - 1,), 1e30),
+                             jnp.full((3,), 0.5)])
+
+    Rs, ps, is_ = LC.pose_graph_optimize(R0, p0, edges, delta=delta,
+                                         solver="sparse")
+    Rd, pd, id_ = LC.pose_graph_optimize(R0, p0, edges, delta=delta,
+                                         solver="dense")
+    assert is_["iters"] == id_["iters"]
+    assert is_["accepted"] == id_["accepted"]
+    np.testing.assert_allclose(is_["final_cost"], id_["final_cost"],
+                               rtol=1e-10)
+    np.testing.assert_allclose(Rs, Rd, atol=1e-9)
+    np.testing.assert_allclose(ps, pd, atol=1e-8)
