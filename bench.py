@@ -8,7 +8,17 @@ parity_realworld.json): 4 LM iterations in 9.75 s with 4 threads on the
 same 5529-plane problem -> 0.41 iter/s.
 
 Also reports achieved FLOP/s on the Hessian assembly (the dominant
-compute) and an MFU estimate against the chip's bf16 peak.
+compute), an MFU estimate against the chip's bf16 peak, and
+`end_to_end_s` = association (native host engine) + solve — the full
+pipeline a user runs, comparable to the reference binary's total.
+
+TIMING PROTOCOL: through the axon tunnel `jax.block_until_ready` does
+NOT block (it acknowledges enqueue; verified by fetch-after-block taking
+the full compute time — utils/sync.py).  Rounds 1-2 timed with
+block_until_ready and were therefore measuring dispatch latency (~14x
+optimistic).  This version uses the slope protocol from utils/sync:
+per_run = (t[k chained runs + fetch] - t[1 run + fetch]) / (k-1), with
+data-dependent chaining so runs cannot overlap or be elided.
 """
 
 import json
@@ -88,11 +98,15 @@ def main():
     # see solver/lm.py damping_iter docstring)
     packed_impl = os.environ.get("BENCH_PACKED_IMPL", "xla")
 
+    from balm_tpu.utils import sync
+
     dtype = "float32"
     cfg = realworld.RealworldConfig(dtype=dtype, centered=True)
     R, p, scans = realworld.load(cfg)
 
+    t0 = time.perf_counter()
     vres = grid.voxelize(scans, R, p, cfg.voxel, dtype=np.float64)
+    t_assoc = time.perf_counter() - t0
     f = Fmod.recenter_bodies(vres.factors).astype(jnp.dtype(dtype))
     R = jnp.asarray(R, dtype)
     p = jnp.asarray(p, dtype)
@@ -101,51 +115,40 @@ def main():
 
     solver_cfg = SolverConfig(max_iters=10, u_init=0.01, rel_tol=0.0)
 
-    def run():
+    def run(Rin):
         return lm.damping_iter(
-            R, p, f, solver_cfg, centered=True, backend=backend,
+            Rin, p, f, solver_cfg, centered=True, backend=backend,
             packed_impl=packed_impl)
 
-    # warm up / compile.  CRITICAL: no device->host transfer may happen
-    # between here and the end of the timed runs — through the axon
-    # tunnel a single scalar fetch degrades EVERY subsequent dispatch in
-    # the process ~16x (measured 51 ms -> 800 ms for this very loop,
-    # artifacts/transfer_poisoning.md).  All result fetches (asserts,
-    # trace reads, the floor probe) happen after timing.
-    res = run()
-    res.R.block_until_ready()
+    res = run(R)
+    sync.fetch_scalar(res.residual)  # compile + first real execution
 
-    # contention variance on the shared tunnel: several spaced batches,
-    # global best = least-contended = hardware capability
+    # slope-timed batches; tunnel contention shows up to 15x variance so
+    # take the global best across spaced batches
     batches = int(os.environ.get("BENCH_BATCHES", "3"))
-    times = []
+    kchain = int(os.environ.get("BENCH_CHAIN", "5"))
+    stats = []
     for b in range(batches):
-        for k in range(8):
-            t0 = time.perf_counter()
-            res = run()
-            res.R.block_until_ready()
-            times.append(time.perf_counter() - t0)
+        stats.append(sync.time_per_run(run, R, k=kchain, reps=2,
+                                       warmup=False))
         if b + 1 < batches:
-            if min(times[-8:]) < 0.1:
+            if stats[-1]["per_run_s"] < 0.2:
                 break  # quiet window already captured
             time.sleep(float(os.environ.get("BENCH_BATCH_SLEEP", "45")))
-    dt = min(times)
+    dt = min(s["per_run_s"] for s in stats)
 
-    # per-dispatch floor (the tunneled TPU adds dispatch overhead that
-    # co-located hardware would not) — measured AFTER the timed runs so
-    # its own fetches cannot poison them
+    # per-dispatch+fetch floor (the tunnel round-trip a co-located chip
+    # would not pay): slope-timed like the workload
     noop = jax.jit(lambda x: x + 1.0)
-    z = jnp.zeros(())
-    noop(z).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(3):
-        o = noop(z)
-    o.block_until_ready()
-    dispatch_floor = (time.perf_counter() - t0) / 3
+    floor = sync.time_per_run(noop, jnp.zeros(()), k=kchain, reps=2)
+    dispatch_floor = floor["t1_s"]
+    res = run(R)
 
     assert float(res.trace_res1[0]) > 0, "residual must be positive"
     iters = max(int(res.iters), 1)
     ips = iters / dt
+    # full-pipeline wall: association (host engine) + one solve run
+    end_to_end_s = t_assoc + dt
 
     # accepted iterations recompute the Hessian; rejected ones only the
     # trial residual.  FLOP model: Hessian rank-row matmul (dominant)
@@ -175,7 +178,15 @@ def main():
                     "iters": iters,
                     "accepted": n_acc,
                     "total_s": round(dt, 4),
-                    "all_times_s": [round(t, 4) for t in times],
+                    "assoc_s": round(t_assoc, 3),
+                    "end_to_end_s": round(end_to_end_s, 3),
+                    "batch_stats": [
+                        {k2: round(v, 4) for k2, v in s.items()}
+                        for s in stats
+                    ],
+                    "timing_protocol": "slope(k-chain + fetch); "
+                                       "block_until_ready does not block "
+                                       "through the tunnel (utils/sync.py)",
                     "residual_initial": float(res.trace_res1[0]),
                     "residual_final": float(res.residual),
                     "dtype": dtype,
@@ -185,8 +196,11 @@ def main():
                     "mfu_vs_bf16_peak": (round(mfu, 4)
                                          if mfu is not None else None),
                     "dispatch_floor_s": round(dispatch_floor, 4),
+                    "chained_dispatch_floor_s": round(
+                        floor["per_run_s"], 4),
                     "hessian_tflops_net": round(
-                        flops_total / max(dt - dispatch_floor, 1e-9) / 1e12,
+                        flops_total
+                        / max(dt - floor["per_run_s"], 1e-9) / 1e12,
                         3),
                 },
             }

@@ -64,14 +64,19 @@ def main(max_scans=None, downsample=0.0):
     scfg = SolverConfig(max_iters=10, u_init=0.01)
     Rj = jnp.asarray(R, "float32")
     pj = jnp.asarray(p, "float32")
-    out = lm.damping_iter(Rj, pj, f32, scfg, centered=True)  # compile
-    out.R.block_until_ready()
-    t_solve = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = lm.damping_iter(Rj, pj, f32, scfg, centered=True)
-        out.R.block_until_ready()
-        t_solve = min(t_solve, time.perf_counter() - t0)
+    # slope-timed: block_until_ready does NOT block through the axon
+    # tunnel (utils/sync.py) — the fetch-synced chain protocol is the
+    # only honest wall-clock
+    from balm_tpu.utils import sync
+
+    def run_solve(Rin):
+        return lm.damping_iter(Rin, pj, f32, scfg, centered=True)
+
+    out = run_solve(Rj)  # compile
+    sync.fetch_scalar(out.residual)
+    stats = sync.time_per_run(run_solve, Rj, k=4, reps=3, warmup=False)
+    t_solve = stats["per_run_s"]
+    out = run_solve(Rj)
     print(f"ours: assoc {t_assoc:.1f}s, solve {t_solve:.3f}s "
           f"({vres.num_planes} planes, {int(out.iters)} iters)", flush=True)
 
