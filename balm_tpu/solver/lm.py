@@ -352,6 +352,53 @@ def _damping_iter_body(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
     return _finish(c, degenerate, eval_res, gauge_fix)
 
 
+def damping_iter_resumable(R, p, f: F.PlaneFactors,
+                           cfg: SolverConfig = SolverConfig(), *,
+                           state=None, chunk_iters: int = 0,
+                           centered: bool = False, backend: str = "xla",
+                           packed_impl: str = "xla", edges=None):
+    """Run the LM loop in checkpointable chunks (SURVEY §5: real
+    checkpoint/resume for preemptible multi-hour runs — the reference
+    has none, state lives in RAM).
+
+    Returns (LMResult, state): `state` is the COMPLETE mid-solve carry
+    (poses, damping u/v, cached Hessian/gradient for the reject-reuse
+    path, iteration counter, trace arrays) as host numpy arrays.
+    Persist it with utils/checkpoint.save(..., **checkpoint.pack_lm_state
+    (state)) and pass it back as `state=` (after checkpoint.
+    unpack_lm_state) to continue EXACTLY where the solve stopped: the
+    chunk boundary is invisible to the damping schedule, so chaining
+    chunks reproduces damping_iter bit-for-bit (same _Carry transition;
+    a converged carry passes through further chunks unchanged).
+
+    chunk_iters: LM iterations per call (0 = run to cfg.max_iters in one
+    chunk).  Each chunk is ONE jitted while_loop dispatch.
+    """
+    pallas_interpret = jax.default_backend() != "tpu"
+    with jax.default_matmul_precision("float32"):
+        cond, body, init, degenerate, eval_res = _build_loop(
+            R, p, f, cfg.max_iters, cfg.u_init, cfg.v_init, cfg.rel_tol,
+            cfg.abs_tol, cfg.min_planes_per_pose, centered, False,
+            "left", "cholesky", backend, pallas_interpret, edges,
+            packed_impl=packed_impl)
+
+        if state is not None:
+            init = _Carry(*[jnp.asarray(np.asarray(x)).astype(y.dtype)
+                            for x, y in zip(_Carry(**state), init)])
+        limit = (int(init.it) + chunk_iters if chunk_iters > 0
+                 else cfg.max_iters)
+
+        # the limit rides the carry (not the closure) so every chunk of a
+        # solve reuses one compiled while_loop
+        c, _ = jax.lax.while_loop(
+            lambda cl: cond(cl[0]) & (cl[0].it < cl[1]),
+            lambda cl: (body(cl[0]), cl[1]),
+            (init, jnp.asarray(limit, jnp.int32)))
+        res = _finish(c, degenerate, eval_res, cfg.gauge_fix)
+    out_state = {k: np.asarray(v) for k, v in c._asdict().items()}
+    return res, out_state
+
+
 def damping_iter_timed(R, p, f: F.PlaneFactors,
                        cfg: SolverConfig = SolverConfig(), *,
                        centered: bool = False,

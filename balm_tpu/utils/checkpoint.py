@@ -40,6 +40,59 @@ def load(path):
     return out
 
 
+def pack_lm_state(state: dict) -> dict:
+    """Flatten a solver/lm.damping_iter_resumable mid-solve state into
+    npz-safe prefixed arrays (pass as **extra to `save`)."""
+    return {f"lm_{k}": np.asarray(v) for k, v in state.items()}
+
+
+def unpack_lm_state(data: dict) -> dict | None:
+    """Inverse of pack_lm_state over a dict loaded by `load`; None when
+    the checkpoint holds no mid-solve state."""
+    out = {k[3:]: np.asarray(v) for k, v in data.items()
+           if k.startswith("lm_")}
+    return out or None
+
+
+def save_odometry(path, i_next: int, R, p, vmap_state: dict,
+                  contribs: dict, info: dict):
+    """Persist the FULL streaming-odometry loop state after scan
+    `i_next - 1` (pipelines/odometry.run): trajectory so far, the
+    incremental VoxelPlaneMap, and the per-scan map contributions still
+    inside the BA window (needed for the contribution swaps).  Atomic:
+    written to a temp file and renamed, so a kill mid-write never leaves
+    a truncated checkpoint."""
+    path = pathlib.Path(path)
+    data = {"odo_i_next": np.asarray(i_next),
+            "R": np.asarray(R), "p": np.asarray(p),
+            "odo_reg_points": np.asarray(info.get("reg_points", []),
+                                         np.int64),
+            "odo_ba_runs": np.asarray(info.get("ba_runs", 0))}
+    for k, v in vmap_state.items():
+        data[f"vmap_{k}"] = np.asarray(v)
+    data["contrib_idx"] = np.asarray(sorted(contribs), np.int64)
+    for j, (keys, sums) in contribs.items():
+        data[f"contrib_{j}_k"] = np.asarray(keys)
+        data[f"contrib_{j}_s"] = np.asarray(sums)
+    # keep the .npz suffix on the temp file (savez appends it otherwise)
+    tmp = path.with_name(path.stem + ".tmp.npz")
+    np.savez_compressed(tmp, **data)
+    tmp.replace(path)
+
+
+def load_odometry(path):
+    """-> (i_next, R, p, vmap_state, contribs, info) saved by
+    save_odometry."""
+    z = np.load(path, allow_pickle=False)
+    vmap_state = {k[5:]: z[k] for k in z.files if k.startswith("vmap_")}
+    contribs = {int(j): (z[f"contrib_{j}_k"], z[f"contrib_{j}_s"])
+                for j in z["contrib_idx"]}
+    info = {"reg_points": list(z["odo_reg_points"]),
+            "ba_runs": int(z["odo_ba_runs"])}
+    return (int(z["odo_i_next"]), z["R"], z["p"], vmap_state, contribs,
+            info)
+
+
 def write_pose_csv(path, R, p, t=None):
     """Write the reference's 4-lines-per-pose CSV trajectory format
     (datas/benchmark_realworld/alidarPose.csv; see io/poses.py)."""

@@ -140,3 +140,29 @@ def test_point_to_line_registration():
     assert used > 100
     assert np.max(np.abs(R1 - dR)) < 5e-3
     assert np.max(np.abs(p1 - dp)) < 5e-3
+
+
+def test_checkpoint_resume(tmp_path):
+    """Kill/resume: a run stopped mid-stream (preemption stand-in) and
+    resumed from its checkpoint reproduces the uninterrupted trajectory
+    exactly — the checkpoint captures the FULL loop state (map moments,
+    contribution ledger, trajectory)."""
+    R_gt, p_gt, scans = make_long_scene(W=18, n_planes=40, pts_per=150,
+                                        seed=22)
+    Ra, pa, info_a = odometry.run(scans)
+
+    path = tmp_path / "odo.npz"
+    Rb1, pb1, info_b1 = odometry.run(
+        scans, checkpoint_path=path, checkpoint_every=4,
+        stop_after_scan=9)
+    assert info_b1.get("stopped_at") == 9
+    assert path.exists()
+
+    Rb, pb, info_b = odometry.run(
+        scans, checkpoint_path=path, checkpoint_every=4, resume=True)
+    assert info_b.get("resumed_at") == 10
+
+    np.testing.assert_allclose(Rb, Ra, atol=1e-12)
+    np.testing.assert_allclose(pb, pa, atol=1e-12)
+    assert info_b["ba_runs"] == info_a["ba_runs"]
+    assert info_b["reg_points"] == info_a["reg_points"]

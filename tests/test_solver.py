@@ -97,3 +97,45 @@ def test_timed_stepper_matches_fused_loop():
         float(ra.residual)) + 1e-9
     assert len(times) == int(rb.iters)
     assert np.all(np.diff(times) > 0) and times[0] > 0
+
+
+def test_resumable_chunks_match_full_solve(tmp_path):
+    """damping_iter_resumable chained in 2-iteration chunks — with the
+    mid-solve state round-tripped through an npz checkpoint between
+    chunks — reproduces damping_iter exactly (same poses, residual,
+    trace).  The chunk boundary must be invisible to the damping
+    schedule (SURVEY section-5 checkpoint/resume requirement)."""
+    from balm_tpu.ops import factors as Fmod
+    from balm_tpu.solver import lm
+    from balm_tpu.utils import checkpoint as ckpt
+
+    cfg = virtual.VirtualConfig(win_size=8, surf_size=14, pts_size=30,
+                                seed=11)
+    R_gt, p_gt, body = virtual.generate(cfg)
+    R0, p0 = virtual.perturb(R_gt, p_gt, cfg)
+    f = virtual.build_factors(body, jnp.float64)
+    R0 = jnp.asarray(R0)
+    p0 = jnp.asarray(p0)
+    scfg = SolverConfig(max_iters=10, u_init=0.01)
+
+    ref = lm.damping_iter(R0, p0, f, scfg)
+
+    state = None
+    res = None
+    for k in range(5):
+        res, state = lm.damping_iter_resumable(
+            R0, p0, f, scfg, state=state, chunk_iters=2)
+        # round-trip the state through the on-disk checkpoint format
+        path = tmp_path / f"lm_{k}.npz"
+        ckpt.save(path, res.R, res.p, f, **ckpt.pack_lm_state(state))
+        loaded = ckpt.load(path)
+        state = ckpt.unpack_lm_state(loaded)
+        assert state is not None
+
+    np.testing.assert_array_equal(np.asarray(res.R), np.asarray(ref.R))
+    np.testing.assert_array_equal(np.asarray(res.p), np.asarray(ref.p))
+    assert float(res.residual) == float(ref.residual)
+    assert int(res.iters) == int(ref.iters)
+    n = int(ref.iters)
+    np.testing.assert_array_equal(
+        np.asarray(res.trace_res1)[:n], np.asarray(ref.trace_res1)[:n])
