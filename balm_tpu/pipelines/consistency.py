@@ -152,6 +152,14 @@ def run_multi(cfg: ConsistencyConfig = ConsistencyConfig(),
     W = len(prepared[2]) - cfg.fix_size
     ratios = np.array([r["ratio"] for r in runs])
     sd_theory = float(np.sqrt(2.0 / (6 * W * len(seeds))))
+    # per-pose protocol (consistency.cpp:181-197): mean per-pose NEES
+    # over seeds is chi^2_6/6-distributed around 1 with
+    # sd = sqrt(12/S)/6 per pose; the 3-sigma bound check counts the
+    # fraction of standardized per-component errors inside +-3
+    S = len(seeds)
+    nees_pose = np.stack([r["nees_pose"] for r in runs])   # (S, W)
+    std_err = np.stack([r["std_err"] for r in runs])       # (S, W, 6)
+    pose_sd = float(np.sqrt(12.0 / S) / 6.0)
     return {
         "seeds": list(map(int, seeds)),
         "ratios": ratios.tolist(),
@@ -161,6 +169,10 @@ def run_multi(cfg: ConsistencyConfig = ConsistencyConfig(),
         "expected": 6 * W,
         "nees": [r["nees"] for r in runs],
         "num_planes": runs[0]["num_planes"],
+        "nees_pose_mean_ratio": (nees_pose.mean(axis=0) / 6.0).tolist(),
+        "nees_pose_band_3sigma": [1.0 - 3 * pose_sd, 1.0 + 3 * pose_sd],
+        "frac_within_3sigma": float(np.mean(np.abs(std_err) <= 3.0)),
+        "frac_within_2sigma": float(np.mean(np.abs(std_err) <= 2.0)),
     }
 
 
@@ -216,10 +228,22 @@ def run(cfg: ConsistencyConfig = ConsistencyConfig(), *, verbose: bool = False,
         err[6 * i + 3:6 * i + 6] = -Rr @ pw[i] + p_gt[i]
 
     nees = float(err @ np.linalg.solve(Rcov, err))
+    # per-pose NEES (the reference's commented multi-run protocol,
+    # consistency.cpp:181-189): err_i^T Rcov[ii]^{-1} err_i against the
+    # 6x6 marginal block, E = 6 per pose
+    errW = err.reshape(W, 6)
+    blocks = Rcov.reshape(W, 6, W, 6)[np.arange(W), :, np.arange(W), :]
+    nees_pose = np.einsum(
+        "wi,wi->w", errW, np.linalg.solve(blocks, errW[..., None])[..., 0])
+    # 3-sigma bound check (consistency.cpp:190-197): per-component
+    # standardized errors |err| / sigma from the covariance diagonal
+    sig = np.sqrt(np.maximum(np.diagonal(Rcov), 1e-300)).reshape(W, 6)
     out = {
         "nees": nees,
         "expected": 6 * W,
         "ratio": nees / (6 * W),
+        "nees_pose": nees_pose,
+        "std_err": errW / sig,
         "iters": int(res.iters),
         "residual": float(res.residual),
         "num_planes": vres.num_planes,

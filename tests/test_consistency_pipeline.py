@@ -34,3 +34,22 @@ def test_marginalized_prior_anchors_gauge():
     assert np.all(np.isfinite(Rcov))
     d = np.diag(Rcov)
     assert np.all(d > 0)
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference dataset not mounted")
+def test_per_pose_nees_and_3sigma_bounds():
+    """Multi-seed per-pose protocol (the reference's commented blocks,
+    consistency.cpp:181-197): every pose's mean NEES ratio must sit in
+    its 3-sigma chi-square band, and the per-component standardized
+    errors must respect the 3-sigma bound at the normal rate."""
+    cfg = consistency.ConsistencyConfig(num_scans=30)
+    out = consistency.run_multi(cfg, seeds=tuple(range(6)))
+    lo, hi = out["nees_pose_band_3sigma"]
+    ratios = np.asarray(out["nees_pose_mean_ratio"])
+    # a few-pose excursion is statistically expected at ~0.3% per pose;
+    # with ~29 poses demand all but one inside the band
+    assert np.sum((ratios < lo) | (ratios > hi)) <= 1, ratios
+    # 3-sigma coverage: normal says 99.73%; demand >= 97%
+    assert out["frac_within_3sigma"] >= 0.97, out["frac_within_3sigma"]
+    # 2-sigma coverage should also be in the right regime (~95%)
+    assert out["frac_within_2sigma"] >= 0.90
