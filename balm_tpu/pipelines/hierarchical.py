@@ -100,6 +100,42 @@ class HierarchicalConfig:
     # so the closure constraint is never even formed).  Same idea as
     # pipelines/coarse_to_fine.py, applied to the anchor problem.
     top_stages: Sequence[VoxelConfig] | None = None
+    # anchor-level pose-graph stage: when lifted loop edges exist, solve
+    # the PURE anchor pose graph (consensus chain + lifted loops, Huber
+    # on the loops) before the top plane solve.  This is the classic
+    # detect -> PGO -> BA decomposition (pipelines/loopclose.close_loops)
+    # applied at O(W/stride) cost: without it, the top plane solve starts
+    # from drifted anchors whose super-scan association is locked out of
+    # basin, and the loop edges lose the tug-of-war against the
+    # mis-associated planes (city study: 4.6 deg final rotation vs 0.96
+    # for scan-level PGO-first; with this stage the lift path matches).
+    anchor_pgo: bool = True
+    # keep the lifted loop edges OUT of the top plane solve (they are
+    # consumed by the anchor PGO instead).  City study: stiff lifted
+    # edges inside the plane solve destabilize it from [2.2 deg, 0.28 m]
+    # (post-PGO) to [11.4 deg, 2.0 m] — the plane association at
+    # residual-drift scale fights the pinned anchors and LM escapes
+    # along the edge null space.
+    anchor_pgo_only: bool = True
+    # PGO engages only when the loop corrections actually exceed the
+    # association basin: max over lifted edges of
+    # (trans_correction + rot_correction * scene_radius) compared to
+    # gate * voxel_size.  Below it the drift has NOT broken voxel
+    # association, the plane solve handles the residual error better
+    # than a graph warp through noisy (~2.5 cm) edge measurements, and
+    # the lifted edges ride the top solve as before (benign in-basin).
+    # City W=1200 (drift 2.7 deg * 50 m lever >> 1 voxel): PGO path wins
+    # 1.09 vs 4.61 deg; healthy square fixture (0.4 m effective < gate):
+    # skipped, identical-to-before behavior.
+    anchor_pgo_gate: float = 0.5   # [voxels]
+    # odometry-chain noise PER SCAN STEP for the anchor PGO (an anchor
+    # gap of k scans gets sigma * k); same role as LoopConfig.chain_sigma*
+    anchor_pgo_sigma_rot: float = 0.002   # [rad/step]
+    anchor_pgo_sigma_trans: float = 0.01  # [m/step]
+    # Huber points for the lifted loop edges (chi^2 sized from these),
+    # mirroring LoopConfig.pgo_robust_*
+    anchor_pgo_robust_rot: float = 0.02   # [rad]
+    anchor_pgo_robust_trans: float = 0.05  # [m]
 
 
 def _solve_window(scans, R, p, vcfg, scfg, edges=None):
@@ -364,13 +400,80 @@ def run(
       # loop-closure (and any other long-range) scan edges span blocks by
       # construction — re-express them on the anchor graph so they
       # survive the super-scan compression (ops/pose_graph.lift_edges)
+      anchor_pgo_poses = None
       if scan_edges is not None:
           from ..ops import pose_graph as PG
 
+          consensus = anchor_edges
           lifted = PG.lift_edges(scan_edges, owner, rel_R, rel_p)
           if lifted is not None:
-              anchor_edges = PG.concat_edges(anchor_edges, lifted)
               info["n_lifted_edges"] = int(len(np.asarray(lifted.i)))
+              # drift gate: effective displacement of revisited geometry
+              li = np.asarray(lifted.i)
+              lj = np.asarray(lifted.j)
+              lZr = np.asarray(lifted.Zr)
+              lZp = np.asarray(lifted.Zp)
+              r_scene = float(np.max(np.linalg.norm(
+                  p - p.mean(axis=0), axis=1)))
+              eff = 0.0
+              for k in range(len(li)):
+                  a, b = int(li[k]), int(lj[k])
+                  Ra_, pa_ = R[anchors[a]], p[anchors[a]]
+                  Rb_, pb_ = R[anchors[b]], p[anchors[b]]
+                  dR = Ra_.T @ Rb_
+                  dp = Ra_.T @ (pb_ - pa_)
+                  ang = np.arccos(np.clip(
+                      (np.trace(lZr[k].T @ dR) - 1) / 2, -1, 1))
+                  eff = max(eff, float(np.linalg.norm(dp - lZp[k])
+                                       + ang * r_scene))
+              info["loop_drift_effective_m"] = eff
+              pgo_needed = (cfg.anchor_pgo and
+                            eff > cfg.anchor_pgo_gate * cfg.voxel.voxel_size)
+              if not (pgo_needed and cfg.anchor_pgo_only):
+                  anchor_edges = PG.concat_edges(anchor_edges, lifted)
+              if pgo_needed:
+                  from . import loopclose as LCm
+
+                  # chain measurements: overlap consensus when it covers
+                  # every consecutive anchor pair (refined by the bottom
+                  # solves), else the current anchor estimate
+                  if (consensus is not None
+                          and len(np.asarray(consensus.i)) == nb - 1):
+                      chain = consensus
+                  else:
+                      chain = LCm.chain_edges(R[anchors], p[anchors],
+                                              1.0, 1.0)
+                  ci = np.asarray(chain.i)
+                  cj = np.asarray(chain.j)
+                  gaps = np.maximum(
+                      anchors[cj] - anchors[ci], 1).astype(np.float64)
+                  chain = chain._replace(
+                      w_rot=jnp.asarray(
+                          1.0 / (cfg.anchor_pgo_sigma_rot * gaps) ** 2),
+                      w_tr=jnp.asarray(
+                          1.0 / (cfg.anchor_pgo_sigma_trans * gaps) ** 2),
+                  )
+                  delta = jnp.concatenate([
+                      jnp.full((len(ci),), 1e30, jnp.float64),
+                      jnp.asarray(lifted.w_rot, jnp.float64)
+                      * cfg.anchor_pgo_robust_rot ** 2
+                      + jnp.asarray(lifted.w_tr, jnp.float64)
+                      * cfg.anchor_pgo_robust_trans ** 2,
+                  ])
+                  Ra_pg, pa_pg, pinfo = LCm.pose_graph_optimize(
+                      R[anchors], p[anchors],
+                      PG.concat_edges(chain, lifted), delta=delta)
+                  info["anchor_pgo"] = pinfo
+                  anchor_pgo_poses = (Ra_pg, pa_pg)
+                  if _cycle == 0:
+                      # diagnostic: the PGO-composed trajectory before
+                      # any top plane solve touches it
+                      Rprov = np.stack([Ra_pg[owner[i]] @ rel_R[i]
+                                        for i in range(W)])
+                      pprov = np.stack([Ra_pg[owner[i]] @ rel_p[i]
+                                        + pa_pg[owner[i]]
+                                        for i in range(W)])
+                      info["anchor_pgo_provisional"] = (Rprov, pprov)
 
       # --- top level: super-scans in anchor frames ---
       will_recurse = nb > cfg.recurse_at
@@ -391,6 +494,12 @@ def run(
 
       Ra0 = R[anchors]
       pa0 = p[anchors]
+      if anchor_pgo_poses is not None:
+          # start the top solve from the pose-graph-corrected anchors:
+          # their super-scan association is in-basin, so the plane
+          # factors refine the loop-closed geometry instead of fighting
+          # the lifted edges from drifted association
+          Ra0, pa0 = anchor_pgo_poses
       if nb > cfg.recurse_at:
           # recurse: the anchors become the next level's scan poses
           sub = dataclasses.replace(cfg, polish=False, cycles=1)
