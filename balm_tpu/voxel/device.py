@@ -137,6 +137,22 @@ def _voxelize_core(
     cell_caps: tuple,    # static per-layer cell-count capacities
     Gcap: int,           # static leaf capacity (padded factor rows)
 ):
+    """scans -> PlaneFactors, on-chip, SCATTER-FREE on the per-point path.
+
+    v2 design (v1 spent ~10 of its 12 s in multi-channel scatter-adds at
+    table sizes past on-chip memory — artifacts/assoc_stage_profile.json
+    + scripts/microbench_segsum.py): per-point reductions go through
+    ops/segments.sorted_segment_sum (blocked two-level, built from the
+    primitives that stay fast at 16M points: sort 0.066 s, dense block
+    cumsum, table-granularity gathers/scatters), and the octree layers
+    are aggregated hierarchically — ONE per-point pass at the finest
+    resolution, then parallel-axis moment shifts on the CELL TABLES for
+    every coarser layer (a fine cell is entirely inside its parent, so
+    Sum x'x'^T = Sum xx^T + v d^T + d v^T + n d d^T with d = fine center
+    - parent center).  Decisions cascade root->fine on the tables.
+    """
+    from ..ops import segments
+
     W, Nmax = body.shape[:2]
     N = W * Nmax
     dtype = body.dtype
@@ -174,52 +190,85 @@ def _voxelize_core(
     qrel = qrel[perm]
     world_s = world[perm]
     valid_s = valid[perm]
-
-    # --- 3. per-layer classification ---
-    # per-point running state (sorted order)
-    active = valid_s
-    leaf_prov = jnp.full(N, Gcap, jnp.int32)   # provisional leaf id
-    n_leaves = jnp.int32(0)
     cap_overflow = extent_overflow
-
-    # per-leaf metadata, provisional-id indexed, sentinel row at Gcap
-    meta_center = jnp.zeros((Gcap + 1, 3), dtype)
-    meta_layer = jnp.zeros(Gcap + 1, jnp.int32)
-    meta_decision = jnp.zeros(Gcap + 1, dtype)
 
     ratios = tuple(eigen_ratio) + (eigen_ratio[-1],) * max(
         0, L + 1 - len(eigen_ratio))
 
+    # --- 3a. ONE per-point moment pass at the finest layer ---
+    capL = int(cell_caps[L])
+    newf = _boundaries(hi, lo) & valid_s
+    seg_f = jnp.cumsum(newf.astype(jnp.int32)) - 1
+    n_cells_f = jnp.sum(newf.astype(jnp.int32))
+    cap_overflow |= n_cells_f > capL
+    seg_f = jnp.where(valid_s, jnp.minimum(seg_f, capL - 1), capL)
+
+    # fine-cell-local coordinates: |local| <= fine/2 (PRECISION note)
+    center_pt = ((qrel + qbase[None, :]).astype(dtype) + 0.5) * fine
+    local = world_s - center_pt
+    x, y, z = local[:, 0], local[:, 1], local[:, 2]
+    one = jnp.where(valid_s, jnp.asarray(1.0, dtype), 0.0)
+    data = jnp.stack([
+        x * x, x * y, x * z, y * y, y * z, z * z, x, y, z, one,
+    ], axis=-1) * one[:, None]
+    M_f = segments.sorted_segment_sum(data, seg_f, num_segments=capL)
+    qabs_f = segments.segment_first(
+        qrel + qbase[None, :], seg_f, num_segments=capL)   # (capL, 3)
+
+    # --- 3b. coarser layers: parallel-axis aggregation on cell tables ---
+    # tables[l] = (M (cap_l, 10), qabs (cap_l, 3), n_cells, seg_child->l)
+    tables = {L: (M_f, qabs_f, n_cells_f, None)}
+    for l in range(L - 1, -1, -1):
+        cap_c = int(cell_caps[l + 1])
+        cap_l = int(cell_caps[l])
+        M_c, qabs_c, n_c, _ = tables[l + 1]
+        real_c = jnp.arange(cap_c) < n_c
+        qp = qabs_c >> 1
+        newp = jnp.ones(cap_c, bool).at[1:].set(
+            jnp.any(qp[1:] != qp[:-1], axis=1)) & real_c
+        seg_p = jnp.cumsum(newp.astype(jnp.int32)) - 1
+        n_p = jnp.sum(newp.astype(jnp.int32))
+        cap_overflow |= n_p > cap_l
+        seg_p = jnp.where(real_c, jnp.minimum(seg_p, cap_l - 1), cap_l)
+
+        # shift child moments from child-cell-local to parent-cell-local
+        sz_c = voxel_size / (1 << (l + 1))
+        d = ((qabs_c.astype(dtype) + 0.5) * sz_c
+             - (qp.astype(dtype) + 0.5) * (2.0 * sz_c))       # (cap_c, 3)
+        v = M_c[:, 6:9]
+        n = M_c[:, 9:10]
+        Ms = jnp.stack([
+            M_c[:, 0] + 2 * v[:, 0] * d[:, 0] + n[:, 0] * d[:, 0] * d[:, 0],
+            M_c[:, 1] + v[:, 0] * d[:, 1] + v[:, 1] * d[:, 0]
+            + n[:, 0] * d[:, 0] * d[:, 1],
+            M_c[:, 2] + v[:, 0] * d[:, 2] + v[:, 2] * d[:, 0]
+            + n[:, 0] * d[:, 0] * d[:, 2],
+            M_c[:, 3] + 2 * v[:, 1] * d[:, 1] + n[:, 0] * d[:, 1] * d[:, 1],
+            M_c[:, 4] + v[:, 1] * d[:, 2] + v[:, 2] * d[:, 1]
+            + n[:, 0] * d[:, 1] * d[:, 2],
+            M_c[:, 5] + 2 * v[:, 2] * d[:, 2] + n[:, 0] * d[:, 2] * d[:, 2],
+            v[:, 0] + n[:, 0] * d[:, 0],
+            v[:, 1] + n[:, 0] * d[:, 1],
+            v[:, 2] + n[:, 0] * d[:, 2],
+            n[:, 0],
+        ], axis=-1)
+        M_p = segments.sorted_segment_sum(Ms, seg_p, num_segments=cap_l)
+        qabs_p = segments.segment_first(qp, seg_p, num_segments=cap_l)
+        tables[l] = (M_p, qabs_p, n_p, None)
+        tables[l + 1] = (M_c, qabs_c, n_c, seg_p)   # child -> parent rows
+
+    # --- 3c. per-layer stats + root->fine decision cascade ---
+    meta_center = jnp.zeros((Gcap + 1, 3), dtype)
+    meta_layer = jnp.zeros(Gcap + 1, jnp.int32)
+    meta_decision = jnp.zeros(Gcap + 1, dtype)
+
+    n_leaves = jnp.int32(0)
+    leaf_of_cell = {}
+    can_split_parent = None   # (cap_{l-1},) bool, True rows may subdivide
     for l in range(L + 1):
-        shift = L - l
-        cell_sz = voxel_size / (1 << l)
         cap = int(cell_caps[l])
-
-        klo = lo >> (3 * shift)
-        new = _boundaries(hi, klo) & active
-        # a run only starts a NEW cell if its points are active; inactive
-        # points (already leafed/dead/padding) must not occupy segments.
-        # Because activity is a per-CELL property (all points of a cell
-        # share their ancestors), runs are uniformly active or inactive.
-        seg = jnp.cumsum(new.astype(jnp.int32)) - 1          # (N,)
-        n_cells = seg[-1] + 1
-        cap_overflow |= n_cells > cap
-        seg = jnp.where(active, jnp.minimum(seg, cap - 1), cap)
-
-        # cell-local coordinates: |local| <= cell_sz/2 (PRECISION note).
-        # Layer-l world-grid cell coord = (qrel >> shift) + (qbase >> shift)
-        # (exact: qbase is a multiple of 2^L); its center is (coord+0.5)*sz.
-        cell_q = (qrel >> shift) + (qbase >> shift)[None, :]
-        center_pt = (cell_q.astype(dtype) + 0.5) * cell_sz
-        local = world_s - center_pt
-
-        x, y, z = local[:, 0], local[:, 1], local[:, 2]
-        one = jnp.where(active, jnp.asarray(1.0, dtype), 0.0)
-        data = jnp.stack([
-            x * x, x * y, x * z, y * y, y * z, z * z, x, y, z, one,
-        ], axis=-1) * one[:, None]
-        M = jax.ops.segment_sum(data, seg, num_segments=cap + 1,
-                                indices_are_sorted=True)       # (cap+1, 10)
+        cell_sz = voxel_size / (1 << l)
+        M, qabs, n_cells, seg_to_parent = tables[l]
         cnt = M[:, 9]
         cnt1 = jnp.maximum(cnt, 1.0)
         mean = M[:, 6:9] / cnt1[:, None]
@@ -238,57 +287,78 @@ def _voxelize_core(
         decision = lam[:, 0] / jnp.maximum(lam[:, 1], 1e-30)
 
         alive = cnt > min_points          # strict >, grid.py:210 semantics
-        is_real = jnp.arange(cap + 1) < jnp.minimum(n_cells, cap)
+        is_real = jnp.arange(cap) < n_cells
         is_plane = alive & (decision < ratios[l]) & is_real
-        can_split = (alive & ~is_plane & is_real) if l < L else \
-            jnp.zeros_like(alive)
+        if can_split_parent is not None:
+            ancestor_ok = can_split_parent[jnp.minimum(
+                seg_to_parent, can_split_parent.shape[0] - 1)][:cap]
+            is_plane = is_plane & ancestor_ok
+            can_split = alive & ~(alive & (decision < ratios[l])) \
+                & is_real & ancestor_ok
+        else:
+            can_split = alive & ~is_plane & is_real
 
-        # provisional leaf ids for this layer's plane cells
         prank = jnp.cumsum(is_plane.astype(jnp.int32)) - 1
-        leaf_of_cell = jnp.where(is_plane, n_leaves + prank, Gcap)
+        lc = jnp.where(is_plane, n_leaves + prank, Gcap)
         n_new = jnp.sum(is_plane.astype(jnp.int32))
         cap_overflow |= (n_leaves + n_new) > Gcap
-        leaf_of_cell = jnp.minimum(leaf_of_cell, Gcap)
-
-        # leaf metadata (mean is cell-local -> add back the cell center;
-        # representative center from any member point: segment_max)
-        cell_center = jax.ops.segment_max(
-            jnp.where(active[:, None], center_pt, -jnp.inf), seg,
-            num_segments=cap + 1, indices_are_sorted=True)
-        cell_center = jnp.where(jnp.isfinite(cell_center), cell_center, 0.0)
-        meta_center = meta_center.at[leaf_of_cell].set(
-            mean + cell_center, mode="drop")
-        meta_layer = meta_layer.at[leaf_of_cell].set(
-            jnp.full(cap + 1, l, jnp.int32), mode="drop")
-        meta_decision = meta_decision.at[leaf_of_cell].set(
-            decision, mode="drop")
-        # the scatters above also hit the sentinel row Gcap; re-zero it
-        meta_center = meta_center.at[Gcap].set(0.0)
-        meta_decision = meta_decision.at[Gcap].set(0.0)
-
-        # per-point updates
-        got = leaf_of_cell[seg]
-        leaf_prov = jnp.where(active & (got < Gcap), got, leaf_prov)
-        active = active & can_split[seg]
+        lc = jnp.minimum(lc, Gcap)
+        leaf_of_cell[l] = lc
         n_leaves = n_leaves + n_new
 
+        cell_center = (qabs.astype(dtype) + 0.5) * cell_sz
+        meta_center = meta_center.at[lc].set(mean + cell_center,
+                                             mode="drop")
+        meta_layer = meta_layer.at[lc].set(
+            jnp.full(cap, l, jnp.int32), mode="drop")
+        meta_decision = meta_decision.at[lc].set(decision, mode="drop")
+        meta_center = meta_center.at[Gcap].set(0.0)
+        meta_decision = meta_decision.at[Gcap].set(0.0)
+        can_split_parent = can_split
+
+    # leaf of each FINE cell = nearest plane ancestor (the cascade
+    # guarantees at most one cell on any root->fine path is a plane)
+    leaf_fine_tab = leaf_of_cell[L]
+    fine_to_l = None   # fine row -> layer-l row, composed incrementally
+    for l in range(L - 1, -1, -1):
+        up = tables[l + 1][3]          # layer-(l+1) row -> layer-l row
+        if fine_to_l is None:
+            fine_to_l = up
+        else:
+            fine_to_l = up[jnp.minimum(fine_to_l,
+                                       int(cell_caps[l + 1]) - 1)]
+        lc_l = jnp.concatenate([leaf_of_cell[l],
+                                jnp.asarray([Gcap], jnp.int32)])
+        cand = lc_l[jnp.minimum(fine_to_l, int(cell_caps[l]))]
+        leaf_fine_tab = jnp.where(cand < Gcap, cand, leaf_fine_tab)
+
+    leaf_fine_ext = jnp.concatenate(
+        [leaf_fine_tab, jnp.asarray([Gcap], jnp.int32)])
+    leaf_prov = leaf_fine_ext[jnp.minimum(seg_f, capL)]        # per point
+
     # --- 4. factor emission: two-pass centered per (leaf, scan) ---
+    # second sort puts (leaf, scan) runs contiguous for the blocked pass
     scan_s = scan_id[perm]
-    has_leaf = leaf_prov < Gcap
-    seg2 = jnp.where(has_leaf, leaf_prov * W + scan_s, Gcap * W)
     body_s = bodyf[perm]
-    onep = jnp.where(has_leaf, jnp.asarray(1.0, dtype), 0.0)
-    S1 = jax.ops.segment_sum(
-        jnp.concatenate([body_s * onep[:, None], onep[:, None]], axis=-1),
-        seg2, num_segments=Gcap * W + 1)                       # (GW+1, 4)
-    cnt_ls = S1[:-1, 3].reshape(Gcap, W)
+    has_leaf = leaf_prov < Gcap
+    GW = Gcap * W
+    key2 = jnp.where(has_leaf, leaf_prov * W + scan_s, GW)
+    key2, idx2 = jax.lax.sort(
+        (key2, jnp.arange(N, dtype=jnp.int32)), num_keys=1)
+    body2 = body_s[idx2]
+    one2 = jnp.where(key2 < GW, jnp.asarray(1.0, dtype), 0.0)
+    S1 = segments.sorted_segment_sum(
+        jnp.concatenate([body2 * one2[:, None], one2[:, None]], axis=-1),
+        key2, num_segments=GW)                                 # (GW, 4)
+    cnt_ls = S1[:, 3].reshape(Gcap, W)
     bmean = S1[:, :3] / jnp.maximum(S1[:, 3:4], 1.0)
-    c = (body_s - bmean[seg2]) * onep[:, None]
+    c = (body2 - bmean[jnp.minimum(key2, GW - 1)]) * one2[:, None]
     cx, cy, cz = c[:, 0], c[:, 1], c[:, 2]
-    P = jax.ops.segment_sum(
+    P = segments.sorted_segment_sum(
         jnp.stack([cx * cx, cx * cy, cx * cz, cy * cy, cy * cz, cz * cz],
                   axis=-1),
-        seg2, num_segments=Gcap * W + 1)[:-1].reshape(Gcap, W, 6)
+        key2, num_segments=GW).reshape(Gcap, W, 6)
+    bmean = jnp.where(S1[:, 3:4] > 0, bmean, 0.0)
 
     # --- 5. admission + compaction ---
     observers = jnp.sum(cnt_ls > 0, axis=1)
@@ -300,7 +370,7 @@ def _voxelize_core(
 
     Po = P[order] * adm_o[:, None, None]
     cnt_o = cnt_ls[order] * adm_o[:, None]
-    b_o = bmean[:-1].reshape(Gcap, W, 3)[order] * adm_o[:, None, None]
+    b_o = bmean.reshape(Gcap, W, 3)[order] * adm_o[:, None, None]
 
     C = jnp.zeros((Gcap, W, 4, 4), dtype)
     C = C.at[..., 0, 0].set(Po[..., 0])
