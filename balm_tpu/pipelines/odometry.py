@@ -58,6 +58,40 @@ class OdometryConfig:
     # starves (< max(8% of points, 50) matches) — robust to pose error
     # up to ~a voxel width without admitting clutter in healthy scenes
     neighbor_assoc: bool = True
+    # large-rotation rescue: when registration starves (association
+    # collapse — the signature of a rotation outside the GN basin, e.g.
+    # the realworld keyframe set's 7-43 deg inter-scan jumps vs the
+    # constant-motion envelope of ~1 deg/scan at 10 Hz), re-initialize
+    # the yaw from the scan-context sector shift between consecutive
+    # scans (loopclose.sc_distance convention: R_i ~ R_{i-1} Rz(-yaw))
+    # and re-register; the better-associated candidate wins.
+    yaw_rescue: bool = True
+    yaw_rescue_frac: float = 0.10      # rescue when used < frac * recent
+    # ALSO rescue when the scan-context yaw measurement disagrees with
+    # the constant-motion prediction by more than this (rad) and the
+    # descriptor match is confident — association to a poisoned map can
+    # stay plentiful (never "collapses") while being entirely wrong, so
+    # the measurement-vs-prediction disagreement is the robust trigger
+    yaw_rescue_disagree: float = 0.14  # ~8 deg
+    yaw_rescue_max_dist: float = 0.6   # sc confidence gate
+    sc_rings: int = 12
+    sc_sectors: int = 120              # 3 deg yaw resolution
+    # third rung of the rescue ladder: when the yaw-initialized
+    # registration is still starved, score a coarse pitch/roll grid
+    # around the yaw init by association-inlier count (one vectorized
+    # map lookup per candidate, no GN) and register from the best.
+    # Covers the realworld keyframe set's off-z jumps (30 of 100
+    # intervals exceed 15 deg; z-axis fraction down to 0.25).
+    rot_search: bool = True
+    rot_search_deg: tuple = (8.0, 16.0)   # pitch/roll ring radii
+    rot_search_inlier: float = 0.15       # [m] score residual gate
+    # map protection: a scan whose best registration is still starved is
+    # NOT inserted into the map (its pose stays best-effort).  One badly
+    # registered scan otherwise poisons the map and every later scan
+    # registers against the poisoned geometry — the realworld keyframe
+    # study's failure mode (a 6-scan fast-rotation burst took the whole
+    # remaining trajectory down).
+    insert_min_frac: float = 0.3
 
 
 def _project_so3(R: np.ndarray) -> np.ndarray:
@@ -504,6 +538,55 @@ def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
     vmap = VoxelPlaneMap(cfg.voxel_size, cfg.plane_ratio,
                          cfg.min_plane_points,
                          line_ratio=cfg.line_ratio if cfg.use_lines else 0.0)
+
+    # scan-context state for the large-rotation yaw rescue
+    sc_state = None
+    if cfg.yaw_rescue:
+        from . import loopclose as LC
+
+        s0 = scans[0]
+        r = np.hypot(s0[:, 0], s0[:, 1])
+        sc_rmax = float(np.percentile(r, 95)) if len(r) else 1.0
+        sc_zlo = float(np.percentile(s0[:, 2], 5)) if len(s0) else 0.0
+        sc_zhi = float(np.percentile(s0[:, 2], 95)) if len(s0) else 1.0
+
+        def _desc(s):
+            return LC.scan_context(s, cfg.sc_rings, cfg.sc_sectors,
+                                   sc_rmax, sc_zlo, sc_zhi)
+
+        sc_state = {"prev": _desc(scans[0])}
+
+        def _sc_rel_yaw(scan_cur):
+            """(relative yaw estimate psi with R_i ~ R_{i-1} Rz(psi),
+            sc distance, descriptor) from consecutive scan contexts."""
+            d_cur = _desc(scan_cur)
+            dist, shift = LC.sc_distance(
+                sc_state["prev"][None], d_cur[None], 8)
+            psi = -LC.shift_to_yaw(int(shift[0]), cfg.sc_sectors)
+            return psi, float(dist[0]), d_cur
+
+        def _rotz(a):
+            ca, sa = np.cos(a), np.sin(a)
+            return np.array([[ca, -sa, 0.0], [sa, ca, 0.0],
+                             [0.0, 0.0, 1.0]])
+
+        def _score_pose(pts, Rc, pc, gate=None):
+            """Association-inlier count of a candidate pose: points that
+            land in a mapped plane voxel within the residual gate.  One
+            vectorized lookup, no GN — cheap enough for a grid of
+            candidates.  With the TIGHT gate (registration quality) this
+            separates correct poses from inlier-rich aliases that fool
+            the raw association count."""
+            world = pts @ Rc.T + pc
+            rows = vmap.lookup(world)
+            sel = rows >= 0
+            if not sel.any():
+                return 0
+            _, cents, norms = vmap.plane_table()
+            d = np.abs(np.einsum(
+                "ij,ij->i", world[sel] - cents[rows[sel]],
+                norms[rows[sel]]))
+            return int(np.sum(d < (gate or cfg.rot_search_inlier)))
     # per-scan map contributions, kept only while the scan can still be
     # re-optimized by a window BA; older scans are frozen into the map
     # (the incremental marginalization replacing the O(N^2) full rebuild,
@@ -538,9 +621,79 @@ def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
             R[i] = R[i - 1]
             p[i] = p[i - 1]
 
+        R_pred = R[i].copy()
+        p_pred = p[i].copy()
         R[i], p[i], used = register_scan(scans[i], R[i], p[i], vmap, cfg)
+        if cfg.yaw_rescue:
+            psi, sc_dist, d_cur = _sc_rel_yaw(scans[i])
+            rel = R[i - 1].T @ R_pred
+            yaw_pred = float(np.arctan2(rel[1, 0], rel[0, 0]))
+            dis = abs((psi - yaw_pred + np.pi) % (2 * np.pi) - np.pi)
+            # hard-scan triggers: association collapse (self-scaled —
+            # counts vary 100x between synthetic tests and realworld
+            # scans), the yaw measurement contradicting the
+            # constant-motion prediction, or simply a FAST rotation
+            # (registration from any single init is unreliable there;
+            # the burst study showed inlier-RICH aliases win silently)
+            recent = info["reg_points"][-5:]
+            healthy = float(np.median(recent)) if recent else float(used)
+            starved = used < max(cfg.yaw_rescue_frac * healthy, 50.0)
+            contradicted = (dis > cfg.yaw_rescue_disagree
+                            and sc_dist < cfg.yaw_rescue_max_dist)
+            fast = (abs(psi) > cfg.yaw_rescue_disagree
+                    and sc_dist < cfg.yaw_rescue_max_dist)
+            if starved or contradicted or fast:
+                pts_ds = (scans[i] if cfg.downsample <= 0 else
+                          grid.down_sample_voxel(scans[i],
+                                                 cfg.downsample))
+                tight = 0.05
+
+                def _reg_quality(Rc, pc):
+                    return _score_pose(pts_ds, Rc, pc, gate=tight)
+
+                # candidates ranked by TIGHT-inlier quality, not raw
+                # association count
+                best = (R[i], p[i], used, _reg_quality(R[i], p[i]))
+                R_base = _project_so3(R[i - 1] @ _rotz(psi))
+                R2, p2, used2 = register_scan(
+                    scans[i], R_base, p_pred.copy(), vmap, cfg)
+                q2 = _reg_quality(R2, p2)
+                if q2 > best[3]:
+                    best = (R2, p2, used2, q2)
+                    info["yaw_rescues"] = info.get("yaw_rescues", 0) + 1
+                # third rung: coarse pitch/roll search around the yaw
+                # init, scored by loose inliers (no GN per candidate)
+                if cfg.rot_search and (starved or best[3] <
+                                       0.6 * len(pts_ds)):
+                    cands = [np.zeros(3)]
+                    for rr in cfg.rot_search_deg:
+                        for k8 in range(8):
+                            phi = k8 * np.pi / 4
+                            cands.append(np.deg2rad(rr) * np.array(
+                                [np.cos(phi), np.sin(phi), 0.0]))
+                    best_R, best_s = None, -1
+                    for wv in cands:
+                        Rc = _project_so3(R_base @ np.asarray(
+                            lie.so3_exp(jnp.asarray(wv))))
+                        s = _score_pose(pts_ds, Rc, p_pred)
+                        if s > best_s:
+                            best_s, best_R = s, Rc
+                    R3, p3, used3 = register_scan(
+                        scans[i], best_R, p_pred.copy(), vmap, cfg)
+                    q3 = _reg_quality(R3, p3)
+                    if q3 > best[3]:
+                        best = (R3, p3, used3, q3)
+                        info["rot_searches"] = info.get(
+                            "rot_searches", 0) + 1
+                R[i], p[i], used = best[0], best[1], best[2]
+            sc_state["prev"] = d_cur
         info["reg_points"].append(used)
-        contribs[i] = vmap.insert(scans[i] @ R[i].T + p[i])
+        recent = info["reg_points"][-6:-1]
+        healthy = float(np.median(recent)) if recent else float(used)
+        if used >= cfg.insert_min_frac * healthy or len(vmap.keys) == 0:
+            contribs[i] = vmap.insert(scans[i] @ R[i].T + p[i])
+        else:
+            info["skipped_inserts"] = info.get("skipped_inserts", 0) + 1
         # freeze scans that can no longer be touched by any window BA
         for j in [j for j in contribs if j <= i - cfg.window]:
             del contribs[j]

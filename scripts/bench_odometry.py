@@ -97,14 +97,18 @@ def main(max_scans=100):
         "points_per_sec": round(n_pts / dt, 0),
         "window_ba_runs": info["ba_runs"],
         "drift_vs_ref_deg_m": [float(rot) * 57.3, float(tra)],
+        "yaw_rescues": info.get("yaw_rescues", 0),
+        "rot_searches": info.get("rot_searches", 0),
         "note": ("host CPU streaming loop; 10 Hz is the sensor real-time "
-                 "bar (reference front-end design point).  Drift caveat: "
-                 "this dataset is BA keyframes with median 7.6 deg / max "
-                 "42.8 deg rotation BETWEEN scans — far outside any "
-                 "constant-motion front-end's envelope (a 10 Hz stream "
-                 "moves ~1 deg/scan), so tracking degrades beyond ~35 "
-                 "scans; the synthetic continuous-motion streaming tests "
-                 "(tests/test_odometry.py) are the accuracy oracle."),
+                 "bar (reference front-end design point).  This dataset "
+                 "is BA keyframes with median 7.6 deg / max 42.8 deg "
+                 "rotation BETWEEN scans — far outside a constant-motion "
+                 "predictor's envelope (a 10 Hz stream moves ~1 deg/"
+                 "scan); the rescue ladder (scan-context yaw init + "
+                 "coarse pitch/roll search + tight-inlier candidate "
+                 "ranking, OdometryConfig.yaw_rescue/rot_search) tracks "
+                 "it anyway.  artifacts/odometry_10hz.json is the "
+                 "in-envelope synthesized-stream benchmark."),
     }
     outp = pathlib.Path(__file__).resolve().parents[1] / "artifacts"
     outp.mkdir(exist_ok=True)
