@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import pathlib
 import time
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 import jax.numpy as jnp
@@ -50,6 +50,14 @@ class RealworldConfig:
     # solver backend: 'auto' picks the packed TPU fast path when running
     # centered f32 on a TPU, the XLA evaluator otherwise
     backend: str = "auto"
+    # coarse-to-fine multi-resolution stages (the reference README's
+    # "Notes for real-world experiments" recipe for poor initial
+    # trajectories: large voxel + loose criteria -> small + strict).
+    # None = single-resolution (cfg.voxel); pass
+    # coarse_to_fine.default_stages() or a custom VoxelConfig list to
+    # re-associate per stage.  The LAST stage uses cfg.voxel so the
+    # final solve matches the single-resolution configuration exactly.
+    stages: Optional[Sequence[VoxelConfig]] = None
 
 
 def load(cfg: RealworldConfig):
@@ -77,6 +85,17 @@ def run(cfg: RealworldConfig = RealworldConfig(), *, verbose: bool = False):
     W = len(scans)
     t_load = time.perf_counter() - t0
 
+    stage_history = None
+    if cfg.stages is not None:
+        # coarse-to-fine prologue: every stage except the production
+        # voxel re-associates at the refined poses; the final stage
+        # below IS the single-resolution pipeline at cfg.voxel
+        from . import coarse_to_fine as c2f
+
+        R, p, stage_history = c2f.run(
+            scans, R, p, list(cfg.stages), cfg.solver,
+            dtype=cfg.dtype, centered=cfg.centered, verbose=verbose)
+
     t0 = time.perf_counter()
     vres = grid.voxelize(scans, R, p, cfg.voxel, dtype=np.float64)
     t_assoc = time.perf_counter() - t0
@@ -101,6 +120,7 @@ def run(cfg: RealworldConfig = RealworldConfig(), *, verbose: bool = False):
         "merged_planes": merged_planes,
         "t_load_s": t_load,
         "t_assoc_s": t_assoc,
+        "stage_history": stage_history,
     }
     # degeneracy gate (benchmark_realworld.cpp:209-215)
     if vres.num_planes < 3 * W:
