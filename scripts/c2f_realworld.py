@@ -46,14 +46,18 @@ from balm_tpu.voxel import grid  # noqa: E402
 
 
 def common_cost(scans, R, p, vcfg):
+    """MEAN per-point cluster cost at fresh association (normalized by
+    sum(coe) — raw sums are not comparable across trajectories that
+    admit different plane sets; see hierarchical._global_residual)."""
     vres = grid.voxelize(list(scans), np.asarray(R), np.asarray(p), vcfg,
                          dtype=np.float64)
     fj = Fmod.PlaneFactors(*[jnp.asarray(x) for x in vres.factors])
     T = lie.pose_matrix(jnp.asarray(R), jnp.asarray(p))
-    return float(Fmod.residual_only(T, fj))
+    return (float(Fmod.residual_only(T, fj))
+            / max(float(np.sum(np.asarray(fj.coe))), 1.0))
 
 
-def degrade(R, p, seed=7, rot_step_deg=0.8, trans_step=0.06):
+def degrade(R, p, seed=7, rot_step_deg=0.4, trans_step=0.04):
     """Cumulative random-walk perturbation (odometry-drift shaped)."""
     rng = np.random.default_rng(seed)
     W = len(R)
