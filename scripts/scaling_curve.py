@@ -60,13 +60,13 @@ def timeit(fn, *args, reps=3):
     return best
 
 
-def factor_sharded_curve(W=64, G_per_shard=8192):
-    """Weak scaling on the factor axis: G = D * G_per_shard."""
+def factor_sharded_curve(W=64, G_per_shard=2048):
+    """Weak scaling on the factor axis: G = D * G_per_shard planes."""
     rows = []
     for D in (1, 2, 4, 8):
         G = D * G_per_shard
-        cfg = virtual.VirtualConfig(win_size=W, surf_size=G // 64,
-                                    pts_size=8, seed=0)
+        cfg = virtual.VirtualConfig(win_size=W, surf_size=G,
+                                    pts_size=4, seed=0)
         R_gt, p_gt, body = virtual.generate(cfg)
         f = virtual.build_factors(body, jnp.float64)
         f = sharded.pad_planes(f, 8 * 128)
@@ -97,27 +97,30 @@ def factor_sharded_curve(W=64, G_per_shard=8192):
     return rows
 
 
-def pose_sharded_curve(W_per_shard=256, span=16):
-    """Weak scaling on the pose axis: W = D * W_per_shard."""
+def pose_sharded_curve(W_per_shard=128):
+    """Weak scaling on the pose axis: W = D * W_per_shard (corridor
+    problem, span-compressed factors, full SPMD LM loop)."""
     rows = []
     for D in (2, 4, 8):
         W = D * W_per_shard
-        R, p, scans = corridor.make_corridor(W, seed=0)
-        R0 = np.asarray(R)
-        p0 = np.asarray(p)
-        vres = corridor.associate(scans, R0, p0)
-        wf = vres if isinstance(vres, FW.WindowedFactors) else vres
+        ccfg = corridor.CorridorConfig(W=W, seed=0)
+        R_gt, p_gt, wf = corridor.make_corridor(ccfg)
+        R0, p0 = corridor.corrupt_poses(R_gt, p_gt, ccfg)
         prob = PS.prepare(jnp.asarray(R0), jnp.asarray(p0), wf, D)
-        scfg = SolverConfig(max_iters=2, u_init=0.01)
+        mesh = PS.make_pose_mesh(D, devices=jax.devices()[:D])
+        scfg = SolverConfig(max_iters=2, u_init=0.01,
+                            min_planes_per_pose=0)
 
         def solve():
-            return PS.damping_iter_pose_sharded(prob, scfg, cg_iters=8)
+            return PS.damping_iter_pose_sharded(prob, mesh, scfg,
+                                                cg_iters=8)
 
         t = timeit(solve)
         # comm per CG step: 2 neighbor ppermute messages of O(span)
-        comm = 2 * span * 6 * 8
+        comm = 2 * int(wf.span) * 6 * 8
         rows.append({
-            "devices": D, "W": W, "per_shard_poses": W_per_shard,
+            "devices": D, "W": W, "per_shard_poses": W // D,
+            "span": int(wf.span),
             "two_lm_iters_wall_s": round(t, 4),
             "neighbor_bytes_per_cg_step": comm,
         })
@@ -134,10 +137,11 @@ def efficiency_model(t_comp_1shard: float, comm_bytes: float, D: int,
 def main():
     out = {"note": __doc__.split("Run:")[0].strip()}
     out["factor_sharded_weak"] = factor_sharded_curve()
+    out["pose_sharded_weak"] = pose_sharded_curve()
     # strong scaling: fixed G, growing D
     rows = []
-    W, G = 64, 65536
-    cfg = virtual.VirtualConfig(win_size=W, surf_size=G // 64, pts_size=8,
+    W, G = 64, 16384
+    cfg = virtual.VirtualConfig(win_size=W, surf_size=G, pts_size=4,
                                 seed=0)
     R_gt, p_gt, body = virtual.generate(cfg)
     f = virtual.build_factors(body, jnp.float64)
