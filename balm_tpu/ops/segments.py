@@ -54,13 +54,19 @@ def segment_bounds(seg, num_segments: int):
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments", "block"))
-def sorted_segment_sum(data, seg, *, num_segments: int, block: int = 512):
+def sorted_segment_sum(data, seg, *, num_segments: int, block: int = 512,
+                       bounds=None):
     """segment_sum for SORTED `seg`, scatter-free on the hot path.
 
     data (N, C) float; seg (N,) int32 ascending (out-of-range rows are
     dropped).  Returns (num_segments, C).  Matches jax.ops.segment_sum
     to blocked-summation roundoff (tests/test_segments.py pins both the
     values and an f64 oracle).
+
+    bounds: optional precomputed `segment_bounds(seg, num_segments)` —
+    the two index scatters inside it are the priciest piece at 16M
+    points, so callers running several reductions over the SAME
+    segmentation should compute them once.
     """
     N, C = data.shape
     S = num_segments
@@ -74,7 +80,8 @@ def sorted_segment_sum(data, seg, *, num_segments: int, block: int = 512):
         N = N + pad
     NB = N // B
 
-    start, end, have = segment_bounds(seg, S)
+    start, end, have = (bounds if bounds is not None
+                        else segment_bounds(seg, S))
     # empty segments: give them a harmless in-range span, mask at the end
     s = jnp.where(have, start, 0)
     e = jnp.where(have, end, 1)
@@ -109,9 +116,10 @@ def sorted_segment_sum(data, seg, *, num_segments: int, block: int = 512):
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments",))
-def segment_first(values, seg, *, num_segments: int):
+def segment_first(values, seg, *, num_segments: int, bounds=None):
     """Representative (first-row) value per segment of a SORTED segment
     array: values (N, C) -> (S, C).  One gather at table granularity."""
-    start, _, have = segment_bounds(seg, num_segments)
+    start, _, have = (bounds if bounds is not None
+                      else segment_bounds(seg, num_segments))
     out = values[jnp.where(have, start, 0)]
     return jnp.where(have[:, None], out, 0)
