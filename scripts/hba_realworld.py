@@ -81,6 +81,14 @@ def main(max_scans=None):
         "hierarchical": dict(block=20, stride=16, polish=False),
         "hierarchical_block40": dict(block=40, stride=32, polish=False),
         "hierarchical_polish": dict(block=20, stride=16, polish=True),
+        # the alternating block/global-sweep design (VERDICT r2 #6): one
+        # cycle of batched bottom blocks + anchor solve + a short guarded
+        # GLOBAL sweep inside the cycle (scalable: span-compressed PCG
+        # past W=512) — recovers the many-scan co-observation detail that
+        # block decomposition discards, without the end-of-run polish
+        "hierarchical_sweep": dict(block=32, stride=16, polish=False,
+                                   cycles=1, batched_bottom=True,
+                                   global_sweep=2, cycle_guard=False),
     }
     for name, kw in variants.items():
         hcfg = hierarchical.HierarchicalConfig(
