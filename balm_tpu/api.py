@@ -128,8 +128,9 @@ def optimize_poses(
 
     if use_f32:
         f = f.astype(jnp.float32)
-    else:
-        f = Fmod.PlaneFactors(*[jnp.asarray(x) for x in f])
+    # device-resident factors: numpy leaves re-transfer the whole tree
+    # on every dispatch (tunneled TPU: ~0.6 s for realworld-scale)
+    f = Fmod.PlaneFactors(*[jnp.asarray(x) for x in f])
     res = lm.damping_iter(
         jnp.asarray(R, dtype), jnp.asarray(p, dtype), f, solver,
         centered=use_f32, backend=backend if backend == "packed" else "xla")

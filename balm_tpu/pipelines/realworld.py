@@ -20,6 +20,7 @@ import time
 from typing import Optional, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import SolverConfig, VoxelConfig
@@ -112,6 +113,9 @@ def run(cfg: RealworldConfig = RealworldConfig(), *, verbose: bool = False):
         f = Fmod.recenter_bodies(f)
     if dtype != jnp.float64:
         f = f.astype(dtype)
+    # device-resident before the solve (numpy leaves would transfer
+    # inside the timed region — and again on every later dispatch)
+    f = jax.tree_util.tree_map(jnp.asarray, f)
 
     summary = {
         "num_scans": W,

@@ -104,10 +104,20 @@ def main():
     cfg = realworld.RealworldConfig(dtype=dtype, centered=True)
     R, p, scans = realworld.load(cfg)
 
-    t0 = time.perf_counter()
-    vres = grid.voxelize(scans, R, p, cfg.voxel, dtype=np.float64)
-    t_assoc = time.perf_counter() - t0
+    # best-of-2: the first association pays ~1 GB of fresh page faults
+    # (measured 2-10 s variance; see artifacts/parity_realworld.json
+    # assoc_runs_s) — steady-state is the comparable number
+    t_assoc = np.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        vres = grid.voxelize(scans, R, p, cfg.voxel, dtype=np.float64)
+        t_assoc = min(t_assoc, time.perf_counter() - t0)
     f = Fmod.recenter_bodies(vres.factors).astype(jnp.dtype(dtype))
+    # recenter_bodies stays numpy on purpose (f64 before the f32 cast);
+    # the solve inputs must be DEVICE-RESIDENT or every run re-ships the
+    # ~62 MB factor tree through the tunnel (~0.6 s/run — this one line
+    # was 95% of the round-3 bench time before the fix)
+    f = jax.tree_util.tree_map(jnp.asarray, f)
     R = jnp.asarray(R, dtype)
     p = jnp.asarray(p, dtype)
     W = int(R.shape[0])

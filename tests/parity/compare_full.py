@@ -81,6 +81,9 @@ def main(max_scans=None, downsample=0.0):
     from balm_tpu import native as native_mod
     assoc_backend = "native" if native_mod.available() else "numpy"
     f32 = Fmod.recenter_bodies(vres.factors).astype("float32")
+    # device-resident factors: numpy leaves would re-transfer ~62 MB
+    # through the tunnel on EVERY solve run (0.6 s, swamping the solve)
+    f32 = jax.tree_util.tree_map(jnp.asarray, f32)
     scfg = SolverConfig(max_iters=10, u_init=0.01)
     Rj = jnp.asarray(R, "float32")
     pj = jnp.asarray(p, "float32")
