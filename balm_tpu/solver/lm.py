@@ -99,12 +99,15 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
     packed_impl (packed backend only): 'xla' (channel formulation, the
     default), 'pallas2' (the fused VMEM-rows kernel), or 'pallas3' (the
     pose-block-pair grid — VMEM bounded at ANY window size; pallas2
-    auto-upgrades to it past Wp ~ 680).  The fused kernels are ~1.3-1.5x
-    faster DEVICE-side (e.g. 8.2/9.0 vs 12.1 ms/evaluate at W=512,
-    artifacts/tpu_dense_scale.json) but the axon tunnel charges
-    Mosaic-bearing executables an extra ~20 ms per dispatch, which
-    outweighs the kernel win for the whole fused loop there; co-located
-    TPUs should prefer the fused kernels.
+    auto-upgrades to it past Wp ~ 680).  HONEST-SYNC CORRECTION
+    (artifacts/roofline.json, round 3): with the fetch-synced slope
+    protocol the fused kernels measure SLOWER than the XLA channel
+    formulation at W>=512 (pallas3 0.176 s vs xla 0.140 s per evaluate
+    at W=1024/G=16k) — the earlier 'fused 1.3-1.5x faster device-side'
+    numbers in artifacts/tpu_dense_scale.json were enqueue-acknowledge
+    timings.  'xla' is the production choice everywhere; the Pallas
+    kernels remain as independent implementations for equality testing
+    and as the VMEM-bounded fallback.
     """
     if update == "right" and centered:
         raise ValueError("right update requires centered=False")

@@ -4,8 +4,8 @@ Metric: LM iterations/sec on the real-world 177-scan benchmark's factor
 problem (full Hessian+gradient evaluation + solve + trial residual per
 iteration).  Baseline: the REFERENCE BALM2 solver itself, compiled and
 measured on THIS machine via tests/parity/ (artifacts/
-parity_realworld.json): 4 LM iterations in 9.75 s with 4 threads on the
-same 5529-plane problem -> 0.41 iter/s.
+parity_realworld.json, quiet-machine round-3 rerun): 4 LM iterations in
+5.97 s with 4 threads on the same 5529-plane problem -> 0.67 iter/s.
 
 Also reports achieved FLOP/s on the Hessian assembly (the dominant
 compute), an MFU estimate against the chip's bf16 peak, and
@@ -27,7 +27,7 @@ import time
 
 import numpy as np
 
-BASELINE_ITERS_PER_SEC = 0.41
+BASELINE_ITERS_PER_SEC = 0.67
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".jax_cache")
 

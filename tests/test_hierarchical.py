@@ -209,3 +209,37 @@ def test_c2f_top_stages_no_worse():
     _, tra2 = metrics.pose_rsme(jnp.asarray(R2), jnp.asarray(p2), Rg, pg)
     assert info["top_planes"] > 0
     assert float(tra2) < 1.2 * float(tra1) + 1e-3
+
+
+def test_global_sweep_large_solver_path():
+    """HierarchicalConfig.global_sweep with the span-compressed solver
+    forced ('large'): the alternating block/global-sweep cycle must run
+    and not degrade the solve (the scalable configuration for W past the
+    dense comfort zone)."""
+    import dataclasses as _dc
+
+    from balm_tpu.config import VoxelConfig as _V
+
+    R_gt, p_gt, scans = make_long_scene(W=24, n_planes=50, pts_per=120,
+                                        seed=33)
+    rng = np.random.default_rng(5)
+    R0 = np.stack([
+        np.asarray(lie.so3_exp(jnp.asarray(
+            rng.standard_normal(3) * 0.01))) @ R_gt[i]
+        for i in range(len(scans))])
+    p0 = p_gt + rng.standard_normal(p_gt.shape) * 0.02
+
+    cfg = hierarchical.HierarchicalConfig(
+        block=8, stride=6, cycles=1, polish=False,
+        voxel=_V(voxel_size=1.0), top_voxel=_V(voxel_size=1.0),
+        global_sweep=3, global_sweep_solver="large", cycle_guard=False)
+    R1, p1, info = hierarchical.run(scans, R0, p0, cfg)
+    assert info.get("global_sweeps", 0) == 1
+    rot1, tra1 = metrics.pose_rsme(
+        *lie.gauge_fix(jnp.asarray(R1), jnp.asarray(p1)),
+        *lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt)))
+    rot0, tra0 = metrics.pose_rsme(
+        *lie.gauge_fix(jnp.asarray(R0), jnp.asarray(p0)),
+        *lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt)))
+    assert float(tra1) < 0.5 * float(tra0)
+    assert float(rot1) < 0.5 * float(rot0)
