@@ -119,7 +119,7 @@ def _boundaries(hi, lo):
     jax.jit,
     static_argnames=(
         "voxel_size", "layer_limit", "eigen_ratio", "min_points",
-        "min_observers", "unit_coe", "cell_caps", "Gcap",
+        "min_observers", "unit_coe", "cell_caps", "Gcap", "_stage",
     ),
 )
 def _voxelize_core(
@@ -136,6 +136,8 @@ def _voxelize_core(
     unit_coe: bool,
     cell_caps: tuple,    # static per-layer cell-count capacities
     Gcap: int,           # static leaf capacity (padded factor rows)
+    _stage: int = 99,    # profiling: early-return after stage k (see
+                         # scripts/profile_assoc_stages.py)
 ):
     """scans -> PlaneFactors, on-chip, SCATTER-FREE on the per-point path.
 
@@ -195,6 +197,8 @@ def _voxelize_core(
     qrel = jnp.clip(
         jnp.floor(world_s / fine).astype(jnp.int32) - qbase, 0, lim - 1)
     cap_overflow = extent_overflow
+    if _stage == 1:          # sort + world gather + derived fields
+        return world_s, qrel, valid_s
 
     ratios = tuple(eigen_ratio) + (eigen_ratio[-1],) * max(
         0, L + 1 - len(eigen_ratio))
@@ -221,6 +225,8 @@ def _voxelize_core(
     qabs_f = segments.segment_first(
         qrel + qbase[None, :], seg_f, num_segments=capL,
         bounds=bounds_f)                                   # (capL, 3)
+    if _stage == 2:          # + fine-cell moment pass
+        return M_f, qabs_f
 
     # --- 3b. coarser layers: parallel-axis aggregation on cell tables ---
     # tables[l] = (M (cap_l, 10), qabs (cap_l, 3), n_cells, seg_child->l)
@@ -342,6 +348,8 @@ def _voxelize_core(
     leaf_fine_ext = jnp.concatenate(
         [leaf_fine_tab, jnp.asarray([Gcap], jnp.int32)])
     leaf_prov = leaf_fine_ext[jnp.minimum(seg_f, capL)]        # per point
+    if _stage == 3:          # + coarse tables, cascade, leaf assignment
+        return leaf_prov, meta_center
 
     # --- 4. factor emission: two-pass centered per (leaf, scan) ---
     # second sort puts (leaf, scan) runs contiguous for the blocked pass
@@ -355,18 +363,38 @@ def _voxelize_core(
     body2 = body_s[idx2]
     one2 = jnp.where(key2 < GW, jnp.asarray(1.0, dtype), 0.0)
     bounds2 = segments.segment_bounds(key2, GW)
-    S1 = segments.sorted_segment_sum(
-        jnp.concatenate([body2 * one2[:, None], one2[:, None]], axis=-1),
-        key2, num_segments=GW, bounds=bounds2)                 # (GW, 4)
-    cnt_ls = S1[:, 3].reshape(Gcap, W)
-    bmean = S1[:, :3] / jnp.maximum(S1[:, 3:4], 1.0)
-    c = (body2 - bmean[jnp.minimum(key2, GW - 1)]) * one2[:, None]
+    if _stage == 4:          # + emission sort + bounds
+        return key2, body2
+    # ONE blocked pass instead of two (was 2x the dominant emission
+    # cost): body coordinates are anchored at each segment's FIRST point
+    # — all points of a (leaf, scan) pair sit within one leaf extent of
+    # each other in the body frame too (same rigid transform), so the
+    # anchored coordinates are bounded by the voxel size and the
+    # one-pass covariance has no |range|^2 cancellation (the same
+    # argument as the classification pass's cell-local coordinates).
+    # The exact centered moments then come from the table-level
+    # parallel-axis identity  Sum (c-m)(c-m)^T = Sum c c^T - n m m^T.
+    start2, _, have2 = bounds2
+    banchor = body2[jnp.where(have2, start2, 0)]               # (GW, 3)
+    banchor = jnp.where(have2[:, None], banchor, 0.0)
+    c = (body2 - banchor[jnp.minimum(key2, GW - 1)]) * one2[:, None]
     cx, cy, cz = c[:, 0], c[:, 1], c[:, 2]
-    P = segments.sorted_segment_sum(
-        jnp.stack([cx * cx, cx * cy, cx * cz, cy * cy, cy * cz, cz * cz],
-                  axis=-1),
-        key2, num_segments=GW, bounds=bounds2).reshape(Gcap, W, 6)
-    bmean = jnp.where(S1[:, 3:4] > 0, bmean, 0.0)
+    M2 = segments.sorted_segment_sum(
+        jnp.stack([cx * cx, cx * cy, cx * cz, cy * cy, cy * cz, cz * cz,
+                   cx, cy, cz, one2], axis=-1),
+        key2, num_segments=GW, bounds=bounds2)                 # (GW, 10)
+    cnt_flat = M2[:, 9]
+    cnt_ls = cnt_flat.reshape(Gcap, W)
+    m = M2[:, 6:9] / jnp.maximum(cnt_flat[:, None], 1.0)       # local mean
+    P = jnp.stack([
+        M2[:, 0] - cnt_flat * m[:, 0] * m[:, 0],
+        M2[:, 1] - cnt_flat * m[:, 0] * m[:, 1],
+        M2[:, 2] - cnt_flat * m[:, 0] * m[:, 2],
+        M2[:, 3] - cnt_flat * m[:, 1] * m[:, 1],
+        M2[:, 4] - cnt_flat * m[:, 1] * m[:, 2],
+        M2[:, 5] - cnt_flat * m[:, 2] * m[:, 2],
+    ], axis=-1).reshape(Gcap, W, 6)
+    bmean = jnp.where(cnt_flat[:, None] > 0, banchor + m, 0.0)
 
     # --- 5. admission + compaction ---
     observers = jnp.sum(cnt_ls > 0, axis=1)
