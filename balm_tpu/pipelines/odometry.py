@@ -570,23 +570,27 @@ def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
             return np.array([[ca, -sa, 0.0], [sa, ca, 0.0],
                              [0.0, 0.0, 1.0]])
 
-        def _score_pose(pts, Rc, pc, gate=None):
-            """Association-inlier count of a candidate pose: points that
-            land in a mapped plane voxel within the residual gate.  One
-            vectorized lookup, no GN — cheap enough for a grid of
-            candidates.  With the TIGHT gate (registration quality) this
-            separates correct poses from inlier-rich aliases that fool
-            the raw association count."""
-            world = pts @ Rc.T + pc
+        def _score_poses(pts, Rcs, pc, gate=None):
+            """Association-inlier counts for a BATCH of candidate poses:
+            points that land in a mapped plane voxel within the residual
+            gate — one vectorized lookup over all candidates, no GN.
+            With the TIGHT gate (registration quality) this separates
+            correct poses from inlier-rich aliases that fool the raw
+            association count."""
+            C = len(Rcs)
+            world = (np.einsum("cij,nj->cni", np.stack(Rcs), pts)
+                     + pc).reshape(C * len(pts), 3)
             rows = vmap.lookup(world)
             sel = rows >= 0
             if not sel.any():
-                return 0
+                return np.zeros(C, np.int64)
             _, cents, norms = vmap.plane_table()
             d = np.abs(np.einsum(
                 "ij,ij->i", world[sel] - cents[rows[sel]],
                 norms[rows[sel]]))
-            return int(np.sum(d < (gate or cfg.rot_search_inlier)))
+            hit = np.zeros(C * len(pts), bool)
+            hit[np.nonzero(sel)[0]] = d < (gate or cfg.rot_search_inlier)
+            return hit.reshape(C, len(pts)).sum(axis=1)
     # per-scan map contributions, kept only while the scan can still be
     # re-optimized by a window BA; older scans are frozen into the map
     # (the incremental marginalization replacing the O(N^2) full rebuild,
@@ -647,44 +651,48 @@ def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
                           grid.down_sample_voxel(scans[i],
                                                  cfg.downsample))
                 tight = 0.05
-
-                def _reg_quality(Rc, pc):
-                    return _score_pose(pts_ds, Rc, pc, gate=tight)
-
                 # candidates ranked by TIGHT-inlier quality, not raw
-                # association count
-                best = (R[i], p[i], used, _reg_quality(R[i], p[i]))
-                R_base = _project_so3(R[i - 1] @ _rotz(psi))
-                R2, p2, used2 = register_scan(
-                    scans[i], R_base, p_pred.copy(), vmap, cfg)
-                q2 = _reg_quality(R2, p2)
-                if q2 > best[3]:
-                    best = (R2, p2, used2, q2)
-                    info["yaw_rescues"] = info.get("yaw_rescues", 0) + 1
-                # third rung: coarse pitch/roll search around the yaw
-                # init, scored by loose inliers (no GN per candidate)
-                if cfg.rot_search and (starved or best[3] <
-                                       0.6 * len(pts_ds)):
-                    cands = [np.zeros(3)]
-                    for rr in cfg.rot_search_deg:
-                        for k8 in range(8):
-                            phi = k8 * np.pi / 4
-                            cands.append(np.deg2rad(rr) * np.array(
-                                [np.cos(phi), np.sin(phi), 0.0]))
-                    best_R, best_s = None, -1
-                    for wv in cands:
-                        Rc = _project_so3(R_base @ np.asarray(
+                # association count.  On fast-but-successfully-registered
+                # scans (high primary quality, yaw agreeing with the
+                # measurement) skip the rescue registrations entirely —
+                # the quality check is one batched lookup.
+                q0 = _score_poses(pts_ds, [R[i]], p[i], gate=tight)[0]
+                best = (R[i], p[i], used, q0)
+                primary_ok = (not starved and not contradicted
+                              and q0 >= 0.5 * len(pts_ds))
+                if not primary_ok:
+                    R_base = _project_so3(R[i - 1] @ _rotz(psi))
+                    R2, p2, used2 = register_scan(
+                        scans[i], R_base, p_pred.copy(), vmap, cfg)
+                    q2 = _score_poses(pts_ds, [R2], p2, gate=tight)[0]
+                    if q2 > best[3]:
+                        best = (R2, p2, used2, q2)
+                        info["yaw_rescues"] = info.get("yaw_rescues",
+                                                       0) + 1
+                    # third rung: coarse pitch/roll search around the
+                    # yaw init, scored by loose inliers in ONE batched
+                    # lookup over all candidates
+                    if cfg.rot_search and (starved or best[3] <
+                                           0.6 * len(pts_ds)):
+                        cands = [np.zeros(3)]
+                        for rr in cfg.rot_search_deg:
+                            for k8 in range(8):
+                                phi = k8 * np.pi / 4
+                                cands.append(np.deg2rad(rr) * np.array(
+                                    [np.cos(phi), np.sin(phi), 0.0]))
+                        Rcs = [_project_so3(R_base @ np.asarray(
                             lie.so3_exp(jnp.asarray(wv))))
-                        s = _score_pose(pts_ds, Rc, p_pred)
-                        if s > best_s:
-                            best_s, best_R = s, Rc
-                    R3, p3, used3 = register_scan(
-                        scans[i], best_R, p_pred.copy(), vmap, cfg)
-                    q3 = _reg_quality(R3, p3)
-                    if q3 > best[3]:
-                        best = (R3, p3, used3, q3)
-                        info["rot_searches"] = info.get(
-                            "rot_searches", 0) + 1
+                            for wv in cands]
+                        scores = _score_poses(pts_ds, Rcs, p_pred)
+                        best_R = Rcs[int(np.argmax(scores))]
+                        R3, p3, used3 = register_scan(
+                            scans[i], best_R, p_pred.copy(), vmap, cfg)
+                        q3 = _score_poses(pts_ds, [R3], p3,
+                                          gate=tight)[0]
+                        if q3 > best[3]:
+                            best = (R3, p3, used3, q3)
+                            info["rot_searches"] = info.get(
+                                "rot_searches", 0) + 1
                 R[i], p[i], used = best[0], best[1], best[2]
             sc_state["prev"] = d_cur
         info["reg_points"].append(used)
