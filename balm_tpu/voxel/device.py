@@ -9,21 +9,25 @@ compiled computation from raw points to padded `PlaneFactors`:
 
   1. rigid transform of all scans — one batched (W, Nmax, 3) matmul (MXU)
   2. quantize to the FINEST octree resolution voxel/2^L and sort points by
-     the packed fine cell key once (TPU sort: ~460 Mpts/s measured, 3-4x
-     faster per pass than scatter — scripts/microbench_assoc_ops.py); every
-     coarser cell key is a PREFIX of the fine key, so one sort serves all
-     layers
-  3. per layer l = 0..L: segment boundaries from prefix changes (cumsum),
-     per-cell second moments via segment_sum in CELL-LOCAL coordinates
-     (see PRECISION below), closed-form 3x3 eigenvalues (ops/eigh3),
-     planarity gate lambda0/lambda1 < eigen_ratio[layer]
-     (judge_eigen, bavoxel.hpp:654-699); failing cells "split" simply by
-     letting their points continue to the next layer's finer prefix
-  4. plane cells emit per-(leaf, scan) body-frame cluster moments with a
-     TWO-PASS centered segment_sum (mean first, then centered products) —
-     the factors come out already recentered (`recenter_bodies` is a no-op
-     on them), which is the only f32-safe form (factors.py docstring)
-  5. admission (>= min_observers scans, bavoxel.hpp:33-37) + compaction to
+     the packed fine cell key ONCE (TPU sort: ~460 Mpts/s measured; every
+     coarser cell key is a PREFIX of the fine key)
+  3. ONE per-point moment pass at the finest layer via the blocked
+     scatter-free sorted-segment-sum (ops/segments.py — TPU scatter-add
+     collapses 12x past ~128k segments, artifacts/microbench_segsum.txt),
+     in FINE-CELL-LOCAL coordinates (see PRECISION below)
+  4. every coarser layer aggregates the CELL TABLES with the
+     parallel-axis theorem (a fine cell nests exactly in its parent);
+     closed-form 3x3 eigenvalues (ops/eigh3) gate planarity
+     lambda0/lambda1 < eigen_ratio[layer] (judge_eigen,
+     bavoxel.hpp:654-699), and decisions cascade root->fine on tables —
+     a cell is a leaf iff it passes and no ancestor did
+  5. a second sort by (leaf, scan) groups emission segments; per-(leaf,
+     scan) body moments come from ONE anchored single-pass reduction
+     (coordinates relative to the segment's first point are bounded by
+     the leaf extent, so the one-pass covariance is cancellation-free;
+     exact centering via the table-level parallel-axis identity) — the
+     factors come out already recentered (`recenter_bodies` is a no-op)
+  6. admission (>= min_observers scans, bavoxel.hpp:33-37) + compaction to
      put admitted leaves first; padding rows are exactly zero (the tested
      invariant: zero planes contribute zero)
 
@@ -37,8 +41,11 @@ PRECISION (all-f32 regime, x64 off — the TPU production default):
     covariance has no |position|^2 cancellation; the remaining error is
     O(sqrt(n_cell) * eps * cell^2), ~1e-8 absolute at 1 m voxels — small
     vs the lambda0 ~ noise^2 ~ 2.5e-5 decision scale.
-  * factor moments are two-pass centered per (leaf, scan) (the invariant
-    from factors_windowed._window_moment applies to ALL new moment math).
+  * factor moments are single-pass about a per-(leaf, scan) ANCHOR (the
+    segment's first body point) — anchored coordinates are bounded by
+    the leaf extent, so this meets the same no-cancellation invariant as
+    two-pass centering (factors_windowed._window_moment) at half the
+    reduction cost; exact centering follows at table level.
   * borderline planarity decisions can still differ from the f64 host
     backends; under x64 (CPU tests) this path runs f64 and matches them.
 
@@ -165,8 +172,6 @@ def _voxelize_core(
     world = world.reshape(N, 3)
     bodyf = body.reshape(N, 3)
     valid = mask.reshape(N)
-    scan_id = jnp.broadcast_to(
-        jnp.arange(W, dtype=jnp.int32)[:, None], (W, Nmax)).reshape(N)
 
     # --- 2. fine quantization + one global sort ---
     fine = voxel_size / (1 << L)
