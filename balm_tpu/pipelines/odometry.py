@@ -554,7 +554,7 @@ def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
             return LC.scan_context(s, cfg.sc_rings, cfg.sc_sectors,
                                    sc_rmax, sc_zlo, sc_zhi)
 
-        sc_state = {"prev": _desc(scans[0])}
+        sc_state = {"prev": None}   # filled after the resume block
 
         def _sc_rel_yaw(scan_cur):
             """(relative yaw estimate psi with R_i ~ R_{i-1} Rz(psi),
@@ -613,6 +613,13 @@ def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
             p[:len(pc)] = pc[:W]
             vmap = VoxelPlaneMap.from_state(vstate)
             info["resumed_at"] = i_start
+
+    if sc_state is not None:
+        # the yaw-measurement partner is the scan BEFORE the first loop
+        # iteration — after a resume that is scan i_start - 1, not scan 0
+        # (a wrong pair would fabricate a large yaw "measurement" and
+        # could fire a spurious rescue on the first resumed scan)
+        sc_state["prev"] = _desc(scans[max(i_start - 1, 0)])
 
     for i in range(i_start, W):
         # constant-motion prediction (balm_front_back.cpp:580-589)
