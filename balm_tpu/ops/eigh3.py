@@ -83,7 +83,19 @@ def eigvals3(A):
     small = p2 < 1e-30
     p = jnp.sqrt(jnp.where(small, 1.0, p2))
     Bn = B / p[..., None, None]
-    r = jnp.linalg.det(Bn) * 0.5
+    # explicit symmetric 3x3 determinant: elementwise VPU code that fuses
+    # with the rest of the kernel (jnp.linalg.det would lower to a batched
+    # LU on TPU and break the fusion)
+    b00 = Bn[..., 0, 0]
+    b11 = Bn[..., 1, 1]
+    b22 = Bn[..., 2, 2]
+    b01 = Bn[..., 0, 1]
+    b02 = Bn[..., 0, 2]
+    b12 = Bn[..., 1, 2]
+    det = (b00 * (b11 * b22 - b12 * b12)
+           - b01 * (b01 * b22 - b12 * b02)
+           + b02 * (b01 * b12 - b11 * b02))
+    r = det * 0.5
     r = jnp.clip(r, -1.0, 1.0)
     phi = jnp.arccos(r) / 3.0
     e2 = q + 2.0 * p * jnp.cos(phi)

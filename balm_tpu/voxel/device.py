@@ -167,8 +167,16 @@ def _voxelize_core(
     dtype = body.dtype
     L = layer_limit
 
-    # --- 1. transform (the one MXU op) ---
-    world = jnp.einsum("wij,wnj->wni", R, body) + p[:, None, :]
+    # --- 1. transform ---
+    # Elementwise on purpose: an einsum here hits the MXU, whose f32
+    # matmuls default to ONE bf16 pass on TPU (8 mantissa bits -> cm-scale
+    # coordinate error at 100 m), silently flipping ~10% of the borderline
+    # planarity gates (the round-3 5001-vs-5529 plane gap: the f32 CPU run
+    # reproduces the host count exactly).  A 3-wide contraction can't tile
+    # the MXU anyway; the VPU form is both exact-f32 and faster.
+    world = (R[:, None, :, 0] * body[..., 0, None]
+             + R[:, None, :, 1] * body[..., 1, None]
+             + R[:, None, :, 2] * body[..., 2, None]) + p[:, None, :]
     world = world.reshape(N, 3)
     bodyf = body.reshape(N, 3)
     valid = mask.reshape(N)
@@ -355,6 +363,9 @@ def _voxelize_core(
     leaf_prov = leaf_fine_ext[jnp.minimum(seg_f, capL)]        # per point
     if _stage == 3:          # + coarse tables, cascade, leaf assignment
         return leaf_prov, meta_center
+    if _stage == 35:         # audit: per-layer cell tables (M, qabs, n)
+        return {l: (tables[l][0], tables[l][1], tables[l][2])
+                for l in range(L + 1)}, cap_overflow
 
     # --- 4. factor emission: two-pass centered per (leaf, scan) ---
     # second sort puts (leaf, scan) runs contiguous for the blocked pass
