@@ -83,7 +83,12 @@ def _replace_path(cfg, parts, text):
             f"unknown field {name!r} on {type(cfg).__name__} (has: {valid})")
     cur = getattr(cfg, name)
     if len(parts) == 1:
-        val = _coerce(cur, text)
+        try:
+            val = _coerce(cur, text)
+        except ValueError as e:
+            raise SystemExit(
+                f"bad value for {name!r} "
+                f"(expected {type(cur).__name__}): {e}") from None
     elif dataclasses.is_dataclass(cur):
         val = _replace_path(cur, parts[1:], text)
     else:
@@ -97,8 +102,12 @@ def _jsonable(obj):
     if isinstance(obj, (list, tuple)):
         return [_jsonable(v) for v in obj]
     if isinstance(obj, (np.floating, np.integer)):
-        return obj.item()
-    if isinstance(obj, (str, int, float, bool)) or obj is None:
+        obj = obj.item()
+    if isinstance(obj, float):
+        # strict JSON has no NaN/Infinity tokens; degenerate solves can
+        # report non-finite residuals
+        return obj if np.isfinite(obj) else None
+    if isinstance(obj, (str, int, bool)) or obj is None:
         return obj
     if hasattr(obj, "shape"):  # numpy or device arrays
         arr = np.asarray(obj)
@@ -143,17 +152,24 @@ def _cmd_realworld(args):
         cfg = dataclasses.replace(cfg, max_scans=args.max_scans)
     if args.export_dir:
         cfg = dataclasses.replace(cfg, export_dir=args.export_dir)
+    # --set first: stage VoxelConfigs derive from the post-override
+    # cfg.voxel so "--set voxel.*" reaches the coarse stages too
+    cfg = _apply_sets(cfg, args.set)
     if args.stages:
         sizes = [float(s) for s in args.stages.split(",")]
-        if sizes == [4.0, 2.0, 1.0] and cfg.voxel.voxel_size == 1.0:
-            stages = coarse_to_fine.default_stages()  # the README recipe
+        if sizes == [4.0, 2.0, 1.0] and cfg.voxel == type(cfg.voxel)(
+                voxel_size=1.0,
+                eigen_ratio=(1.0 / 16, 1.0 / 16, 1.0 / 9)):
+            # pristine default config: use the README recipe's staged
+            # loosened ratios; any --set voxel.* override takes the
+            # derived branch below instead
+            stages = coarse_to_fine.default_stages()
         else:
             # derive each stage from cfg.voxel so non-size gates carry
             # over; the last stage IS cfg.voxel at its requested size
             stages = [dataclasses.replace(cfg.voxel, voxel_size=s)
                       for s in sizes]
         cfg = dataclasses.replace(cfg, stages=stages)
-    cfg = _apply_sets(cfg, args.set)
     _emit(realworld.run(cfg, verbose=args.verbose), args.json)
 
 
@@ -190,6 +206,10 @@ def _cmd_odometry(args):
     from .pipelines import odometry
     from .utils import metrics
 
+    if args.checkpoint and args.checkpoint_every <= 0:
+        print("note: --checkpoint given without --checkpoint-every; "
+              "defaulting to --checkpoint-every 25", file=sys.stderr)
+        args.checkpoint_every = 25
     R_ref, p_ref, scans = _load_scan_dir(args.data_dir, args.max_scans)
     cfg = _apply_sets(odometry.OdometryConfig(), args.set)
     R, p, info = odometry.run(
@@ -200,8 +220,8 @@ def _cmd_odometry(args):
     rot_rad, trans_m = metrics.pose_rsme(R, p, R_ref, p_ref)
     summary = {
         "scans": len(scans),
-        "ate_rot_deg_vs_input_traj": float(rot_rad) * 180.0 / np.pi,
-        "ate_trans_m_vs_input_traj": float(trans_m),
+        "rsme_rot_deg_vs_input_traj": float(rot_rad) * 180.0 / np.pi,
+        "rsme_trans_m_vs_input_traj": float(trans_m),
     }
     summary.update({k: v for k, v in info.items()
                     if isinstance(v, (int, float, str, bool))})

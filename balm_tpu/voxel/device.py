@@ -5,53 +5,66 @@ and the one the SURVEY blueprint prescribes (§2.2 "TPU equivalents"): the
 reference's pointer octree + unordered_map (cut_voxel bavoxel.hpp:1170-1223,
 recut 737-776, hash tools.hpp:29-54) becomes a fixed-capacity, static-shape
 pipeline of XLA-native primitives — no trees, no host round-trips, one
-compiled computation from raw points to padded `PlaneFactors`:
+compiled computation from raw points to padded `PlaneFactors`.
 
-  1. rigid transform of all scans — one batched (W, Nmax, 3) matmul (MXU)
-  2. quantize to the FINEST octree resolution voxel/2^L and sort points by
-     the packed fine cell key ONCE (TPU sort: ~460 Mpts/s measured; every
-     coarser cell key is a PREFIX of the fine key)
-  3. ONE per-point moment pass at the finest layer via the blocked
-     scatter-free sorted-segment-sum (ops/segments.py — TPU scatter-add
-     collapses 12x past ~128k segments, artifacts/microbench_segsum.txt),
-     in FINE-CELL-LOCAL coordinates (see PRECISION below)
-  4. every coarser layer aggregates the CELL TABLES with the
-     parallel-axis theorem (a fine cell nests exactly in its parent);
-     closed-form 3x3 eigenvalues (ops/eigh3) gate planarity
-     lambda0/lambda1 < eigen_ratio[layer] (judge_eigen,
-     bavoxel.hpp:654-699), and decisions cascade root->fine on tables —
-     a cell is a leaf iff it passes and no ancestor did
-  5. a second sort by (leaf, scan) groups emission segments; per-(leaf,
-     scan) body moments come from ONE anchored single-pass reduction
-     (coordinates relative to the segment's first point are bounded by
-     the leaf extent, so the one-pass covariance is cancellation-free;
-     exact centering via the table-level parallel-axis identity) — the
-     factors come out already recentered (`recenter_bodies` is a no-op)
-  6. admission (>= min_observers scans, bavoxel.hpp:33-37) + compaction to
-     put admitted leaves first; padding rows are exactly zero (the tested
-     invariant: zero planes contribute zero)
+v3 design (ONE per-point pass, ONE per-point sort — everything else at
+table granularity).  v2 measured 3.2 s at 16M points on the v5e with the
+cost split sort+gather 0.31 / fine pass 0.56 / cascade 0.73 / emission
+1.6 (artifacts/assoc_tpu.json): the emission's SECOND 16M-point sort plus
+second 10-channel moment pass plus 16M-row segment-bounds scatters were
+half the budget.  v3 removes all of them:
+
+  1. rigid transform of all scans — elementwise VPU math (an einsum here
+     would run as ONE bf16 MXU pass and flip ~10% of borderline gates)
+  2. quantize to the FINEST octree resolution voxel/2^L and sort points
+     ONCE by the packed (fine-cell, scan) key: root coords in the high
+     bits, one octant triple per layer below, the scan id in the lowest
+     bits.  Every coarser cell key AND the fine-cell key AND the
+     (cell, scan) key are PREFIXES of this one sort order.
+  3. ONE per-point moment pass at (fine-cell, scan) granularity, in
+     coordinates ANCHORED at each segment's first body point (bounded by
+     the cell extent after rigid transform, so the one-pass covariance
+     is cancellation-free; see PRECISION)
+  4. everything after is table-sized (#(cell,scan) rows ~ N/20):
+     classification world moments come from ROTATING the anchored body
+     moments (rigid invariance: sum (w-wa)(w-wa)^T = R sum (b-ba)(b-ba)^T
+     R^T) and shifting to cell-center-local by the parallel-axis theorem;
+     coarser layers aggregate cell tables the same way; closed-form 3x3
+     eigenvalues (ops/eigh3) gate planarity lambda0/lambda1 <
+     eigen_ratio[layer] (judge_eigen, bavoxel.hpp:654-699); decisions
+     cascade root->fine ON TABLES — a cell is a leaf iff it passes and no
+     ancestor did
+  5. emission re-sorts only the TABLE by (leaf, scan), shifts each
+     (cell, scan) row's body moments to the (leaf, scan) anchor, and
+     reduces — no second per-point pass
+  6. admission (>= min_observers scans, bavoxel.hpp:33-37) + compaction
+     puts admitted leaves first; padding rows are exactly zero (the
+     tested invariant: zero planes contribute zero)
 
 Everything is jit-compiled with STATIC shapes; dynamic quantities (cell
 counts, leaf counts) are traced values bounded by static capacities, with
 overflow flags returned for host-side retry-with-bigger-caps.
 
 PRECISION (all-f32 regime, x64 off — the TPU production default):
-  * classification moments are accumulated in coordinates local to each
-    point's CURRENT cell center (|local| <= cell/2), so the one-pass
-    covariance has no |position|^2 cancellation; the remaining error is
-    O(sqrt(n_cell) * eps * cell^2), ~1e-8 absolute at 1 m voxels — small
-    vs the lambda0 ~ noise^2 ~ 2.5e-5 decision scale.
-  * factor moments are single-pass about a per-(leaf, scan) ANCHOR (the
-    segment's first body point) — anchored coordinates are bounded by
-    the leaf extent, so this meets the same no-cancellation invariant as
-    two-pass centering (factors_windowed._window_moment) at half the
-    reduction cost; exact centering follows at table level.
+  * per-point moments are single-pass about a per-(cell, scan) ANCHOR
+    (the segment's first body point) — anchored coordinates are bounded
+    by the cell extent (rigid transforms preserve distances), so there is
+    no |position|^2 cancellation; the remaining error is
+    O(sqrt(n_cell) * eps * cell^2), small vs the lambda0 ~ noise^2
+    decision scale.
+  * all subsequent shifts move anchors by at most a cell diagonal, and
+    rotations are exact-f32 elementwise products (ops/smallmat) — never
+    the MXU's bf16 path.
   * borderline planarity decisions can still differ from the f64 host
-    backends; under x64 (CPU tests) this path runs f64 and matches them.
+    backends at the 1e-4 level; under x64 (CPU tests) this path runs f64
+    and matches them.  Measured on realworld-177: 5528 vs 5529 planes,
+    cost ratio 1.0 (artifacts/device_assoc_quality.json).
 
 Extent limits: the fine grid must fit 16 bits per axis relative to the
 cloud minimum (65536 fine cells/axis, e.g. 16 km at voxel 1 m, L = 2);
-out-of-range input sets the `extent_overflow` flag.
+out-of-range input sets the `extent_overflow` flag.  The scan id rides in
+the low key bits: ceil(log2(W)) + 3*layer_limit <= 16 (W=1024 scans at
+layer_limit=2; the dense-window regime this targets).
 """
 
 from __future__ import annotations
@@ -65,7 +78,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import VoxelConfig
-from ..ops import eigh3
+from ..ops import eigh3, smallmat
 from ..ops.factors import PlaneFactors
 
 _I32MAX = np.iinfo(np.int32).max
@@ -76,15 +89,15 @@ class DeviceVoxelizeResult:
     """Device-array analogue of grid.VoxelizeResult.
 
     All fields are jax arrays ON DEVICE; `num_planes` is a traced/device
-    scalar so the hot path never forces a device->host transfer (one
-    fetch degrades every later tunneled dispatch ~16x,
-    artifacts/transfer_poisoning.md).  `factors` is already recentered
-    (body_centers set, per-(leaf,scan) first moments zero).
+    scalar so the hot path never forces a device->host transfer.
+    `factors` is already recentered (body_centers set, per-(leaf,scan)
+    first moments zero).
     """
 
     factors: PlaneFactors
     num_planes: jnp.ndarray        # () int32 — admitted leaf count
     point_leaf: jnp.ndarray        # (W, Nmax) int32 leaf id or -1
+                                   # ((W, 0) when want_point_leaf=False)
     leaf_layer: jnp.ndarray        # (Gcap,) int32 octree layer (admitted-first)
     leaf_decision: jnp.ndarray     # (Gcap,) lambda0/lambda1 at admission
     overflow: jnp.ndarray          # () bool — any capacity exceeded -> retry
@@ -103,7 +116,8 @@ def _pack_keys(qrel, L):
 
     with o_l = the octant bits at layer l.  The layer-l key is then
     (hi, lo >> 3*(L-l)) — one sort serves all layers.  Both words stay
-    nonnegative i32 (a sign flip would reorder runs).
+    nonnegative i32 (a sign flip would reorder runs).  Callers may shift
+    further ids (the scan) into lo's low bits when they fit.
     """
     qroot = qrel >> L
     hi = (qroot[:, 0] << 15) | qroot[:, 1]
@@ -122,11 +136,58 @@ def _boundaries(hi, lo):
     return new
 
 
+def _paxis_shift(M, d):
+    """Parallel-axis move of packed moments (..., 10) by anchor delta d.
+
+    M holds [xx, xy, xz, yy, yz, zz, x, y, z, n] about anchor a; returns
+    the same moments about a' = a - d (i.e. coordinates c' = c + d):
+      sum c'c'^T = sum cc^T + v d^T + d v^T + n dd^T,  v' = v + n d.
+    """
+    v = M[..., 6:9]
+    n = M[..., 9:10]
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    return jnp.stack([
+        M[..., 0] + 2 * v[..., 0] * dx + n[..., 0] * dx * dx,
+        M[..., 1] + v[..., 0] * dy + v[..., 1] * dx + n[..., 0] * dx * dy,
+        M[..., 2] + v[..., 0] * dz + v[..., 2] * dx + n[..., 0] * dx * dz,
+        M[..., 3] + 2 * v[..., 1] * dy + n[..., 0] * dy * dy,
+        M[..., 4] + v[..., 1] * dz + v[..., 2] * dy + n[..., 0] * dy * dz,
+        M[..., 5] + 2 * v[..., 2] * dz + n[..., 0] * dz * dz,
+        v[..., 0] + n[..., 0] * dx,
+        v[..., 1] + n[..., 0] * dy,
+        v[..., 2] + n[..., 0] * dz,
+        n[..., 0],
+    ], axis=-1)
+
+
+def _rot_moments(M, R):
+    """Rotate packed anchored moments (..., 10) by R (..., 3, 3).
+
+    Rigid invariance: with w - wa = R (b - ba), the world-frame anchored
+    moments are sum (w-wa)(w-wa)^T = R [sum (b-ba)(b-ba)^T] R^T and
+    R sum (b-ba).  Unrolled elementwise products (ops/smallmat) — a
+    batched dot_general here would take the MXU's bf16 path.
+    """
+    P = jnp.stack([
+        jnp.stack([M[..., 0], M[..., 1], M[..., 2]], -1),
+        jnp.stack([M[..., 1], M[..., 3], M[..., 4]], -1),
+        jnp.stack([M[..., 2], M[..., 4], M[..., 5]], -1),
+    ], axis=-2)
+    Pw = smallmat.congruence(R, P)
+    vw = smallmat.matvec(R, M[..., 6:9])
+    return jnp.concatenate([
+        jnp.stack([Pw[..., 0, 0], Pw[..., 0, 1], Pw[..., 0, 2],
+                   Pw[..., 1, 1], Pw[..., 1, 2], Pw[..., 2, 2]], -1),
+        vw, M[..., 9:10],
+    ], axis=-1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "voxel_size", "layer_limit", "eigen_ratio", "min_points",
-        "min_observers", "unit_coe", "cell_caps", "Gcap", "_stage",
+        "min_observers", "unit_coe", "cell_caps", "Gcap", "cs_cap",
+        "want_point_leaf", "_stage",
     ),
 )
 def _voxelize_core(
@@ -143,22 +204,20 @@ def _voxelize_core(
     unit_coe: bool,
     cell_caps: tuple,    # static per-layer cell-count capacities
     Gcap: int,           # static leaf capacity (padded factor rows)
+    cs_cap: int | None = None,   # static (fine-cell, scan) pair capacity
+    want_point_leaf: bool = True,
     _stage: int = 99,    # profiling: early-return after stage k (see
                          # scripts/profile_assoc_stages.py)
 ):
-    """scans -> PlaneFactors, on-chip, SCATTER-FREE on the per-point path.
+    """scans -> PlaneFactors, on-chip; ONE sort + ONE moment pass at 16M.
 
-    v2 design (v1 spent ~10 of its 12 s in multi-channel scatter-adds at
-    table sizes past on-chip memory — artifacts/assoc_stage_profile.json
-    + scripts/microbench_segsum.py): per-point reductions go through
-    ops/segments.sorted_segment_sum (blocked two-level, built from the
-    primitives that stay fast at 16M points: sort 0.066 s, dense block
-    cumsum, table-granularity gathers/scatters), and the octree layers
-    are aggregated hierarchically — ONE per-point pass at the finest
-    resolution, then parallel-axis moment shifts on the CELL TABLES for
-    every coarser layer (a fine cell is entirely inside its parent, so
-    Sum x'x'^T = Sum xx^T + v d^T + d v^T + n d d^T with d = fine center
-    - parent center).  Decisions cascade root->fine on the tables.
+    See the module docstring for the v3 dataflow.  The per-point budget
+    is exactly: elementwise transform/quantize, one 3-operand sort, one
+    3-channel gather (sorted body), one 3-channel anchor gather, one
+    10-channel blocked segmented reduction (ops/segments), and one
+    1-channel bounds scatter (+ an optional gather/scatter pair for the
+    per-point leaf map).  Everything else runs at (cell, scan)-table
+    granularity, ~N/20 rows.
     """
     from ..ops import segments
 
@@ -166,11 +225,19 @@ def _voxelize_core(
     N = W * Nmax
     dtype = body.dtype
     L = layer_limit
+    if cs_cap is None:
+        cs_cap = int(min(max(4 * int(cell_caps[L]), 1 << 16), max(N, 1 << 16)))
+    S = max((W - 1).bit_length(), 1)             # scan bits in the key
+    if 15 + 3 * L + S > 31:
+        raise ValueError(
+            f"W={W} scans need {S} key bits; at layer_limit={L} the "
+            f"packed key would overflow int32 (need ceil(log2(W)) + "
+            f"3*layer_limit <= 16)")
 
     # --- 1. transform ---
     # Elementwise on purpose: an einsum here hits the MXU, whose f32
     # matmuls default to ONE bf16 pass on TPU (8 mantissa bits -> cm-scale
-    # coordinate error at 100 m), silently flipping ~10% of the borderline
+    # coordinate error at range), silently flipping ~10% of the borderline
     # planarity gates (the round-3 5001-vs-5529 plane gap: the f32 CPU run
     # reproduces the host count exactly).  A 3-wide contraction can't tile
     # the MXU anyway; the VPU form is both exact-f32 and faster.
@@ -181,7 +248,7 @@ def _voxelize_core(
     bodyf = body.reshape(N, 3)
     valid = mask.reshape(N)
 
-    # --- 2. fine quantization + one global sort ---
+    # --- 2. fine quantization + the ONE global sort ---
     fine = voxel_size / (1 << L)
     qf = jnp.floor(world / fine).astype(jnp.int32)              # (N, 3)
     qmin = jnp.min(jnp.where(valid[:, None], qf, _I32MAX), axis=0)
@@ -197,51 +264,97 @@ def _voxelize_core(
     extent_overflow = jnp.any(valid[:, None] & ((qrel < 0) | (qrel >= lim)))
     qrel = jnp.clip(qrel, 0, lim - 1)
     hi, lo = _pack_keys(qrel, L)
+    scan_pt = (jnp.arange(N, dtype=jnp.int32) // Nmax)          # W-major
+    lo = (lo << S) | scan_pt
     # invalid points sort to the end (and never contribute: masked data)
     hi = jnp.where(valid, hi, _I32MAX)
     hi, lo, perm = jax.lax.sort(
         (hi, lo, jnp.arange(N, dtype=jnp.int32)), num_keys=2)
-    # everything below runs in SORTED order.  Only world is GATHERED;
-    # the rest is derived (gathers at 16M rows cost ~0.12 s each):
-    # qrel recomputes bit-exactly from world_s, validity is encoded in
-    # the sorted key, and the scan id is perm // Nmax (W-major layout).
-    world_s = world[perm]
+    body_s = bodyf[perm]
     valid_s = hi < _I32MAX
-    qrel = jnp.clip(
-        jnp.floor(world_s / fine).astype(jnp.int32) - qbase, 0, lim - 1)
+    n_valid = jnp.sum(valid_s.astype(jnp.int32))
     cap_overflow = extent_overflow
-    if _stage == 1:          # sort + world gather + derived fields
-        return world_s, qrel, valid_s
+    if _stage == 1:          # sort + body gather
+        return body_s, hi, lo
 
     ratios = tuple(eigen_ratio) + (eigen_ratio[-1],) * max(
         0, L + 1 - len(eigen_ratio))
 
-    # --- 3a. ONE per-point moment pass at the finest layer ---
-    capL = int(cell_caps[L])
-    newf = _boundaries(hi, lo) & valid_s
-    seg_f = jnp.cumsum(newf.astype(jnp.int32)) - 1
-    n_cells_f = jnp.sum(newf.astype(jnp.int32))
-    cap_overflow |= n_cells_f > capL
-    seg_f = jnp.where(valid_s, jnp.minimum(seg_f, capL - 1), capL)
+    # --- 3. ONE anchored moment pass at (fine-cell, scan) granularity ---
+    newcs = _boundaries(hi, lo) & valid_s
+    seg_cs = jnp.cumsum(newcs.astype(jnp.int32)) - 1
+    n_cs = jnp.sum(newcs.astype(jnp.int32))
+    cap_overflow |= n_cs > cs_cap
+    seg_cs = jnp.where(valid_s, jnp.minimum(seg_cs, cs_cap - 1), cs_cap)
+    # cheap bounds: contiguous cumsum ids mean end[s] = start[s+1]; one
+    # 1-channel scatter replaces segment_bounds' two index scatters
+    pos = jnp.arange(N, dtype=jnp.int32)
+    starts = jnp.zeros(cs_cap + 1, jnp.int32).at[
+        jnp.where(newcs, jnp.minimum(seg_cs, cs_cap), cs_cap)
+    ].set(pos, mode="drop")
+    starts = jnp.where(jnp.arange(cs_cap + 1) >= n_cs, n_valid, starts)
+    have_cs = jnp.arange(cs_cap) < n_cs
+    bounds_cs = (starts[:cs_cap], starts[1:], have_cs)
 
-    # fine-cell-local coordinates: |local| <= fine/2 (PRECISION note)
-    center_pt = ((qrel + qbase[None, :]).astype(dtype) + 0.5) * fine
-    local = world_s - center_pt
-    x, y, z = local[:, 0], local[:, 1], local[:, 2]
-    one = jnp.where(valid_s, jnp.asarray(1.0, dtype), 0.0)
-    data = jnp.stack([
-        x * x, x * y, x * z, y * y, y * z, z * z, x, y, z, one,
-    ], axis=-1) * one[:, None]
-    bounds_f = segments.segment_bounds(seg_f, capL)
-    M_f = segments.sorted_segment_sum(data, seg_f, num_segments=capL,
-                                      bounds=bounds_f)
-    qabs_f = segments.segment_first(
-        qrel + qbase[None, :], seg_f, num_segments=capL,
-        bounds=bounds_f)                                   # (capL, 3)
-    if _stage == 2:          # + fine-cell moment pass
+    banchor = body_s[jnp.where(have_cs, bounds_cs[0], 0)]       # (cs, 3)
+    banchor = jnp.where(have_cs[:, None], banchor, 0.0)
+    c = (body_s - banchor[jnp.minimum(seg_cs, cs_cap - 1)]) \
+        * valid_s[:, None].astype(dtype)
+    cx, cy, cz = c[:, 0], c[:, 1], c[:, 2]
+    one = valid_s.astype(dtype)
+    data = jnp.stack([cx * cx, cx * cy, cx * cz, cy * cy, cy * cz,
+                      cz * cz, cx, cy, cz, one], axis=-1)
+    M_cs = segments.sorted_segment_sum(data, seg_cs, num_segments=cs_cap,
+                                       bounds=bounds_cs)        # (cs, 10)
+    if _stage == 2:          # + anchored (cell, scan) moment pass
+        return M_cs, banchor
+
+    # ======== everything below is TABLE-granularity (~N/20 rows) ========
+
+    # --- 4a. unpack per-row keys ---
+    first = jnp.where(have_cs, bounds_cs[0], 0)
+    hi_tab = hi[first]
+    lo_tab = lo[first]
+    scan_tab = jnp.where(have_cs, lo_tab & ((1 << S) - 1), 0)
+    cell_lo = lo_tab >> S                        # root_z + octant path
+    rootx = hi_tab >> 15
+    rooty = hi_tab & 0x7FFF
+    rootz = cell_lo >> (3 * L)
+    octs = cell_lo & ((1 << (3 * L)) - 1)
+    sx = jnp.zeros_like(octs)
+    sy = jnp.zeros_like(octs)
+    sz = jnp.zeros_like(octs)
+    for l in range(L):
+        bits = (octs >> (3 * (L - 1 - l))) & 7
+        sx = (sx << 1) | ((bits >> 2) & 1)
+        sy = (sy << 1) | ((bits >> 1) & 1)
+        sz = (sz << 1) | (bits & 1)
+    qabs_tab = jnp.stack([(rootx << L) | sx, (rooty << L) | sy,
+                          (rootz << L) | sz], -1) + qbase[None, :]
+    qabs_tab = jnp.where(have_cs[:, None], qabs_tab, 0)
+
+    # --- 4b. classification moments: rotate + shift to cell-local ---
+    R_tab = R[scan_tab]                          # (cs, 3, 3) — table gather
+    p_tab = p[scan_tab]
+    M_w = _rot_moments(M_cs, R_tab)              # world-frame, about wa
+    wa = smallmat.matvec(R_tab, banchor) + p_tab # world anchor (in cell)
+    center_f = (qabs_tab.astype(dtype) + 0.5) * fine
+    M_w = _paxis_shift(M_w, jnp.where(have_cs[:, None],
+                                      wa - center_f, 0.0))
+
+    # fine-cell runs within the table (scan is below the cell bits)
+    capL = int(cell_caps[L])
+    newf_tab = _boundaries(hi_tab, cell_lo) & have_cs
+    segf_tab = jnp.cumsum(newf_tab.astype(jnp.int32)) - 1
+    n_cells_f = jnp.sum(newf_tab.astype(jnp.int32))
+    cap_overflow |= n_cells_f > capL
+    segf_tab = jnp.where(have_cs, jnp.minimum(segf_tab, capL - 1), capL)
+    M_f = segments.sorted_segment_sum(M_w, segf_tab, num_segments=capL)
+    qabs_f = segments.segment_first(qabs_tab, segf_tab, num_segments=capL)
+    if _stage == 3:          # + fine-cell classification tables
         return M_f, qabs_f
 
-    # --- 3b. coarser layers: parallel-axis aggregation on cell tables ---
+    # --- 4c. coarser layers: parallel-axis aggregation on cell tables ---
     # tables[l] = (M (cap_l, 10), qabs (cap_l, 3), n_cells, seg_child->l)
     tables = {L: (M_f, qabs_f, n_cells_f, None)}
     for l in range(L - 1, -1, -1):
@@ -260,30 +373,18 @@ def _voxelize_core(
         # shift child moments from child-cell-local to parent-cell-local
         sz_c = voxel_size / (1 << (l + 1))
         d = ((qabs_c.astype(dtype) + 0.5) * sz_c
-             - (qp.astype(dtype) + 0.5) * (2.0 * sz_c))       # (cap_c, 3)
-        v = M_c[:, 6:9]
-        n = M_c[:, 9:10]
-        Ms = jnp.stack([
-            M_c[:, 0] + 2 * v[:, 0] * d[:, 0] + n[:, 0] * d[:, 0] * d[:, 0],
-            M_c[:, 1] + v[:, 0] * d[:, 1] + v[:, 1] * d[:, 0]
-            + n[:, 0] * d[:, 0] * d[:, 1],
-            M_c[:, 2] + v[:, 0] * d[:, 2] + v[:, 2] * d[:, 0]
-            + n[:, 0] * d[:, 0] * d[:, 2],
-            M_c[:, 3] + 2 * v[:, 1] * d[:, 1] + n[:, 0] * d[:, 1] * d[:, 1],
-            M_c[:, 4] + v[:, 1] * d[:, 2] + v[:, 2] * d[:, 1]
-            + n[:, 0] * d[:, 1] * d[:, 2],
-            M_c[:, 5] + 2 * v[:, 2] * d[:, 2] + n[:, 0] * d[:, 2] * d[:, 2],
-            v[:, 0] + n[:, 0] * d[:, 0],
-            v[:, 1] + n[:, 0] * d[:, 1],
-            v[:, 2] + n[:, 0] * d[:, 2],
-            n[:, 0],
-        ], axis=-1)
+             - (qp.astype(dtype) + 0.5) * (2.0 * sz_c))        # (cap_c, 3)
+        Ms = _paxis_shift(M_c, d)
         M_p = segments.sorted_segment_sum(Ms, seg_p, num_segments=cap_l)
         qabs_p = segments.segment_first(qp, seg_p, num_segments=cap_l)
         tables[l] = (M_p, qabs_p, n_p, None)
         tables[l + 1] = (M_c, qabs_c, n_c, seg_p)   # child -> parent rows
 
-    # --- 3c. per-layer stats + root->fine decision cascade ---
+    if _stage == 35:         # audit: per-layer cell tables (M, qabs, n)
+        return {l: (tables[l][0], tables[l][1], tables[l][2])
+                for l in range(L + 1)}, cap_overflow
+
+    # --- 4d. per-layer stats + root->fine decision cascade ---
     meta_center = jnp.zeros((Gcap + 1, 3), dtype)
     meta_layer = jnp.zeros(Gcap + 1, jnp.int32)
     meta_decision = jnp.zeros(Gcap + 1, dtype)
@@ -360,45 +461,28 @@ def _voxelize_core(
 
     leaf_fine_ext = jnp.concatenate(
         [leaf_fine_tab, jnp.asarray([Gcap], jnp.int32)])
-    leaf_prov = leaf_fine_ext[jnp.minimum(seg_f, capL)]        # per point
-    if _stage == 3:          # + coarse tables, cascade, leaf assignment
-        return leaf_prov, meta_center
-    if _stage == 35:         # audit: per-layer cell tables (M, qabs, n)
-        return {l: (tables[l][0], tables[l][1], tables[l][2])
-                for l in range(L + 1)}, cap_overflow
+    leaf_cs = leaf_fine_ext[jnp.minimum(segf_tab, capL)]       # per cs row
+    if _stage == 4:          # + cascade + leaf assignment
+        return leaf_cs, meta_center
 
-    # --- 4. factor emission: two-pass centered per (leaf, scan) ---
-    # second sort puts (leaf, scan) runs contiguous for the blocked pass
-    scan_s = (perm // Nmax).astype(jnp.int32)
-    body_s = bodyf[perm]
-    has_leaf = leaf_prov < Gcap
+    # --- 5. emission: shift + reduce the TABLE by (leaf, scan) ---
     GW = Gcap * W
-    key2 = jnp.where(has_leaf, leaf_prov * W + scan_s, GW)
-    key2, idx2 = jax.lax.sort(
-        (key2, jnp.arange(N, dtype=jnp.int32)), num_keys=1)
-    body2 = body_s[idx2]
-    one2 = jnp.where(key2 < GW, jnp.asarray(1.0, dtype), 0.0)
-    bounds2 = segments.segment_bounds(key2, GW)
-    if _stage == 4:          # + emission sort + bounds
-        return key2, body2
-    # ONE blocked pass instead of two (was 2x the dominant emission
-    # cost): body coordinates are anchored at each segment's FIRST point
-    # — all points of a (leaf, scan) pair sit within one leaf extent of
-    # each other in the body frame too (same rigid transform), so the
-    # anchored coordinates are bounded by the voxel size and the
-    # one-pass covariance has no |range|^2 cancellation (the same
-    # argument as the classification pass's cell-local coordinates).
-    # The exact centered moments then come from the table-level
-    # parallel-axis identity  Sum (c-m)(c-m)^T = Sum c c^T - n m m^T.
-    start2, _, have2 = bounds2
-    banchor = body2[jnp.where(have2, start2, 0)]               # (GW, 3)
-    banchor = jnp.where(have2[:, None], banchor, 0.0)
-    c = (body2 - banchor[jnp.minimum(key2, GW - 1)]) * one2[:, None]
-    cx, cy, cz = c[:, 0], c[:, 1], c[:, 2]
+    key_e = jnp.where((leaf_cs < Gcap) & have_cs,
+                      leaf_cs * W + scan_tab, GW)
+    key_e, operm = jax.lax.sort(
+        (key_e, jnp.arange(cs_cap, dtype=jnp.int32)), num_keys=1)
+    Mb = M_cs[operm]
+    ba = banchor[operm]
+    bounds_e = segments.segment_bounds(key_e, GW)
+    start_e, _, have_e = bounds_e
+    anchor_e = ba[jnp.where(have_e, start_e, 0)]               # (GW, 3)
+    anchor_e = jnp.where(have_e[:, None], anchor_e, 0.0)
+    d_e = jnp.where((key_e < GW)[:, None],
+                    ba - anchor_e[jnp.minimum(key_e, GW - 1)], 0.0)
     M2 = segments.sorted_segment_sum(
-        jnp.stack([cx * cx, cx * cy, cx * cz, cy * cy, cy * cz, cz * cz,
-                   cx, cy, cz, one2], axis=-1),
-        key2, num_segments=GW, bounds=bounds2)                 # (GW, 10)
+        _paxis_shift(Mb, d_e) * (key_e < GW)[:, None].astype(dtype),
+        key_e, num_segments=GW, bounds=bounds_e)               # (GW, 10)
+
     cnt_flat = M2[:, 9]
     cnt_ls = cnt_flat.reshape(Gcap, W)
     m = M2[:, 6:9] / jnp.maximum(cnt_flat[:, None], 1.0)       # local mean
@@ -410,9 +494,9 @@ def _voxelize_core(
         M2[:, 4] - cnt_flat * m[:, 1] * m[:, 2],
         M2[:, 5] - cnt_flat * m[:, 2] * m[:, 2],
     ], axis=-1).reshape(Gcap, W, 6)
-    bmean = jnp.where(cnt_flat[:, None] > 0, banchor + m, 0.0)
+    bmean = jnp.where(cnt_flat[:, None] > 0, anchor_e + m, 0.0)
 
-    # --- 5. admission + compaction ---
+    # --- 6. admission + compaction ---
     observers = jnp.sum(cnt_ls > 0, axis=1)
     total = jnp.sum(cnt_ls, axis=1)
     admit = (observers >= min_observers) & (total > 0)
@@ -448,19 +532,25 @@ def _voxelize_core(
         body_centers=b_o,
     )
 
-    # point_leaf in the ORIGINAL (W, Nmax) layout, compacted ids
-    inv = jnp.zeros(Gcap + 1, jnp.int32).at[order].set(
-        jnp.arange(Gcap, dtype=jnp.int32))
-    pl_sorted = jnp.where(
-        has_leaf & admit[jnp.minimum(leaf_prov, Gcap - 1)],
-        inv[jnp.minimum(leaf_prov, Gcap - 1)], -1)
-    point_leaf = jnp.zeros(N, jnp.int32).at[perm].set(pl_sorted)
-
     num_planes = jnp.sum(admit.astype(jnp.int32))
+    if want_point_leaf:
+        # point_leaf in the ORIGINAL (W, Nmax) layout, compacted ids
+        inv = jnp.zeros(Gcap + 1, jnp.int32).at[order].set(
+            jnp.arange(Gcap, dtype=jnp.int32))
+        leaf_pt = leaf_cs[jnp.minimum(seg_cs, cs_cap - 1)]     # (N,)
+        has_leaf = (leaf_pt < Gcap) & valid_s
+        pl_sorted = jnp.where(
+            has_leaf & admit[jnp.minimum(leaf_pt, Gcap - 1)],
+            inv[jnp.minimum(leaf_pt, Gcap - 1)], -1)
+        point_leaf = jnp.zeros(N, jnp.int32).at[perm].set(pl_sorted)
+        point_leaf = point_leaf.reshape(W, Nmax)
+    else:
+        point_leaf = jnp.zeros((W, 0), jnp.int32)
+
     return DeviceVoxelizeResult(
         factors=factors,
         num_planes=num_planes,
-        point_leaf=point_leaf.reshape(W, Nmax),
+        point_leaf=point_leaf,
         leaf_layer=meta_layer[:-1][order],
         leaf_decision=meta_decision[:-1][order],
         overflow=cap_overflow,
@@ -500,6 +590,8 @@ def voxelize_device(
     weighting: str = "point_count",
     cell_caps: tuple | None = None,
     Gcap: int = 1 << 13,
+    cs_cap: int | None = None,
+    want_point_leaf: bool = True,
     max_retries: int = 2,
 ) -> DeviceVoxelizeResult:
     """Associate scans into plane factors, entirely on device.
@@ -513,6 +605,10 @@ def voxelize_device(
     Gcap rows; feed them straight to lm.damping_iter.  Capacity overflow
     is detected via one scalar fetch per retry (only at the API boundary;
     use `_voxelize_core` directly inside fused device pipelines).
+
+    want_point_leaf=False skips the per-point leaf map (one 16M-row
+    gather + one scatter) — the production association+solve path never
+    reads it.
     """
     if weighting not in ("point_count", "unit"):
         raise ValueError(weighting)
@@ -530,6 +626,8 @@ def voxelize_device(
         base = max(1 << 14, min(N // 8, 1 << 20))
         cell_caps = tuple(min(base * (4 ** l), 1 << 21)
                           for l in range(cfg.layer_limit + 1))
+    if cs_cap is None:
+        cs_cap = int(min(max(4 * cell_caps[-1], 1 << 16), max(N, 1 << 16)))
 
     body = jnp.asarray(body, dtype)
     mask = jnp.asarray(mask)
@@ -547,9 +645,12 @@ def voxelize_device(
             unit_coe=(weighting == "unit"),
             cell_caps=tuple(int(c) for c in cell_caps),
             Gcap=int(Gcap),
+            cs_cap=int(cs_cap),
+            want_point_leaf=want_point_leaf,
         )
         if attempt == max_retries or not bool(out.overflow):
             return out
         cell_caps = tuple(min(c * 4, 1 << 22) for c in cell_caps)
+        cs_cap = int(min(cs_cap * 4, max(N, 1 << 16)))
         Gcap *= 4
     return out

@@ -77,14 +77,16 @@ def main(max_scans=None):
         unit_coe=False,
     )
     N = int(np.prod(body.shape[:2]))
-    base = max(1 << 14, min(N // 8, 1 << 20))
-    cell_caps = tuple(min(base * (4 ** L), 1 << 21)
-                      for L in range(cfg.voxel.layer_limit + 1))
+    # realworld-tuned capacities (actual: 5836/24.7k/99.5k cells, 1.85M
+    # (cell,scan) pairs) with >= 1.3x headroom; the voxelize_device
+    # wrapper would discover these via retry-on-overflow
+    cell_caps = (1 << 14, 1 << 16, 1 << 18)
     Gcap = 1 << 13
 
     def run(b):
         return vdev._voxelize_core(
-            b, md, Rd, pd, cell_caps=cell_caps, Gcap=Gcap, **kw)
+            b, md, Rd, pd, cell_caps=cell_caps, Gcap=Gcap,
+            cs_cap=1 << 22, want_point_leaf=False, **kw)
 
     t0 = time.perf_counter()
     out = run(bd)
