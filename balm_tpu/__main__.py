@@ -152,6 +152,8 @@ def _cmd_realworld(args):
         cfg = dataclasses.replace(cfg, max_scans=args.max_scans)
     if args.export_dir:
         cfg = dataclasses.replace(cfg, export_dir=args.export_dir)
+    if args.mesh:
+        cfg = dataclasses.replace(cfg, mesh_devices=args.mesh)
     # --set first: stage VoxelConfigs derive from the post-override
     # cfg.voxel so "--set voxel.*" reaches the coarse stages too
     cfg = _apply_sets(cfg, args.set)
@@ -286,6 +288,9 @@ def build_parser():
     p.add_argument("--export-dir", help="trajectory + convergence curves")
     p.add_argument("--stages", metavar="V1,V2,...",
                    help="coarse-to-fine voxel sizes, e.g. 4,2,1")
+    p.add_argument("--mesh", type=int, metavar="N",
+                   help="shard the plane axis over the first N devices "
+                        "(factor-parallel solve)")
     common(p)
     p.set_defaults(fn=_cmd_realworld)
 

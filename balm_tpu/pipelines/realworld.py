@@ -51,6 +51,12 @@ class RealworldConfig:
     # solver backend: 'auto' picks the packed TPU fast path when running
     # centered f32 on a TPU, the XLA evaluator otherwise
     backend: str = "auto"
+    # factor-parallel execution: shard the plane axis over the first N
+    # devices (jax.sharding mesh; the psum XLA inserts replaces the
+    # reference's 4-thread join, bavoxel.hpp:1025-1059).  0/1 = single
+    # device.  Uses the 'xla' evaluator (the packed fast path is the
+    # single-chip production kernel).
+    mesh_devices: int = 0
     # coarse-to-fine multi-resolution stages (the reference README's
     # "Notes for real-world experiments" recipe for poor initial
     # trajectories: large voxel + loose criteria -> small + strict).
@@ -132,6 +138,24 @@ def run(cfg: RealworldConfig = RealworldConfig(), *, verbose: bool = False):
         return summary
 
     backend = cfg.backend
+    mesh = None
+    if cfg.mesh_devices and cfg.mesh_devices > 1:
+        from ..parallel import sharded
+
+        if len(jax.devices()) < cfg.mesh_devices:
+            raise ValueError(
+                f"mesh_devices={cfg.mesh_devices} but only "
+                f"{len(jax.devices())} devices visible (set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                f"for a virtual CPU mesh)")
+        mesh = sharded.make_mesh(cfg.mesh_devices)
+        f = sharded.shard_factors(f, mesh)
+        if backend in ("auto", "packed", "pallas"):
+            backend = "xla"      # mesh path runs the GSPMD evaluator
+        summary_mesh = {
+            "mesh_devices": cfg.mesh_devices,
+            "planes_per_shard": int(f.C.shape[0]) // cfg.mesh_devices,
+        }
     if backend == "auto":
         import jax as _jax
         backend = ("packed" if (_jax.default_backend() == "tpu"
@@ -139,10 +163,20 @@ def run(cfg: RealworldConfig = RealworldConfig(), *, verbose: bool = False):
                                 and jnp.dtype(dtype) == jnp.float32)
                    else "xla")
     t0 = time.perf_counter()
-    res = lm.damping_iter(
-        jnp.asarray(R, dtype), jnp.asarray(p, dtype), f, cfg.solver,
-        centered=cfg.centered, backend=backend,
-    )
+    if mesh is not None:
+        from ..parallel import sharded
+
+        with mesh:
+            res = lm.damping_iter(
+                sharded.replicate(jnp.asarray(R, dtype), mesh),
+                sharded.replicate(jnp.asarray(p, dtype), mesh),
+                f, cfg.solver, centered=cfg.centered, backend=backend,
+            )
+    else:
+        res = lm.damping_iter(
+            jnp.asarray(R, dtype), jnp.asarray(p, dtype), f, cfg.solver,
+            centered=cfg.centered, backend=backend,
+        )
     res.R.block_until_ready()
     t_solve = time.perf_counter() - t0
 
@@ -156,6 +190,8 @@ def run(cfg: RealworldConfig = RealworldConfig(), *, verbose: bool = False):
             centered=cfg.centered, backend=backend,
         )
 
+    if mesh is not None:
+        summary.update(summary_mesh)
     summary.update(
         status="degenerate" if bool(res.degenerate) else "ok",
         t_solve_s=t_solve,

@@ -53,3 +53,27 @@ def test_per_pose_nees_and_3sigma_bounds():
     assert out["frac_within_3sigma"] >= 0.97, out["frac_within_3sigma"]
     # 2-sigma coverage should also be in the right regime (~95%)
     assert out["frac_within_2sigma"] >= 0.90
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference dataset not mounted")
+def test_nees_through_production_f32_packed_path():
+    """Round-4 verdict item 3: the deepest oracle (NEES) through the
+    PRODUCTION configuration — f32 centered body-recentered factors,
+    packed evaluator solve, covariance H from the same packed path.
+    The f64 oracle on the identical problem is the comparison point."""
+    cfg64 = consistency.ConsistencyConfig(num_scans=40, seed=3)
+    cfg32 = consistency.ConsistencyConfig(num_scans=40, seed=3,
+                                          backend="packed")
+    out64 = consistency.run(cfg64)
+    out32 = consistency.run(cfg32)
+    # same chi-square band as the f64 test, slightly widened for the f32
+    # solve floor
+    assert 0.55 < out32["ratio"] < 1.6, out32["ratio"]
+    # f32 production path must agree with the f64 oracle's NEES closely
+    # (same noise draw, same factors; only solve + H precision differ)
+    assert abs(out32["ratio"] - out64["ratio"]) < 0.05, (
+        out32["ratio"], out64["ratio"])
+    # the f32 solve must actually converge (not run out the iteration cap)
+    assert out32["iters"] < 200
+    assert out32["err_trans_rms_m"] < 0.02
+    assert out32["err_rot_rms_deg"] < 0.1

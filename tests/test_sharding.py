@@ -93,3 +93,58 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert all(bool(jnp.all(jnp.isfinite(o))) for o in out)
+
+
+def test_sharded_realworld_scale(mesh8):
+    """Round-4 verdict item 5: the realworld problem factor-sharded on the
+    8-device mesh must match the replicated solve (full plane count;
+    points voxel-downsampled to keep CPU association time bounded)."""
+    import pathlib
+
+    data = pathlib.Path("/root/reference/datas/benchmark_realworld")
+    if not data.exists():
+        pytest.skip("reference dataset not mounted")
+    from balm_tpu.pipelines import realworld
+
+    cfg = realworld.RealworldConfig(downsample=0.35)
+    R, p, scans = realworld.load(cfg)
+    from balm_tpu.voxel import grid
+
+    vres = grid.voxelize(scans, R, p, cfg.voxel, dtype=np.float64)
+    W = len(scans)
+    assert vres.num_planes > 3000, vres.num_planes   # realworld-class G
+    f = factors.PlaneFactors(*[jnp.asarray(x) for x in vres.factors])
+
+    scfg = SolverConfig(max_iters=3, u_init=0.01, rel_tol=0.0)
+    res0 = lm.damping_iter(jnp.asarray(R), jnp.asarray(p), f, scfg)
+
+    fs = sharded.shard_factors(f, mesh8)
+    with mesh8:
+        res1 = lm.damping_iter(
+            sharded.replicate(jnp.asarray(R), mesh8),
+            sharded.replicate(jnp.asarray(p), mesh8), fs, scfg)
+    assert int(res0.iters) == int(res1.iters)
+    assert abs(float(res0.residual) - float(res1.residual)) < 1e-6 * abs(
+        float(res0.residual))
+    assert np.allclose(np.asarray(res0.R), np.asarray(res1.R), atol=1e-8)
+    assert np.allclose(np.asarray(res0.p), np.asarray(res1.p), atol=1e-7)
+
+
+def test_cli_mesh_flag_runs():
+    """--mesh N wires mesh_devices through the realworld pipeline."""
+    import pathlib
+
+    data = pathlib.Path("/root/reference/datas/benchmark_realworld")
+    if not data.exists():
+        pytest.skip("reference dataset not mounted")
+    from balm_tpu.pipelines import realworld
+
+    cfg = realworld.RealworldConfig(max_scans=12, downsample=0.4,
+                                    mesh_devices=8)
+    cfg0 = realworld.RealworldConfig(max_scans=12, downsample=0.4)
+    out = realworld.run(cfg)
+    out0 = realworld.run(cfg0)
+    assert out["status"] == "ok"
+    assert out["mesh_devices"] == 8
+    assert abs(out["residual_final"] - out0["residual_final"]) < 1e-6 * abs(
+        out0["residual_final"])
