@@ -151,3 +151,99 @@ def solve(R0, p0, f: Fmod.PlaneFactors, *, outer_iters: int = 100,
     R = lie.so3_exp(rv)
     R, pos = lie.gauge_fix(R, pos)                 # BAREG_test.cpp:281-288
     return R, pos, c0, total_it
+
+
+def _res_gw(delta, Rw, pw, n, mu_g, mu, swt, swr, axes):
+    """(3,) residual stack [trans, rot1, rot2] for one (plane, scan) as a
+    function of the local pose perturbation — GN jacobian source."""
+    Rn = lie.so3_exp(delta[None, :3])[0] @ Rw
+    pn = pw + delta[3:]
+    rt = swt * (n @ (Rn @ mu + pn - mu_g))
+    rr = swr * (n @ (Rn @ axes))
+    return jnp.concatenate([rt[None], rr])
+
+
+def solve_gn(R0, p0, f: Fmod.PlaneFactors, *, outer_iters: int = 100,
+             inner_iters: int = 100, u_init: float = 1e-4,
+             dx_tol: float = 1e-6, trace=None):
+    """BAREG at full problem scale: the same alternation as `solve`, with
+    the inner pose solve as Gauss-Newton LM on per-(plane, scan)
+    jacobians — the reference's actual Ceres configuration
+    (BAREG_test.cpp:211-274: Ceres LM = GN + damping, SPARSE_SCHUR; the
+    BAREG Hessian is block-diagonal per pose since every residual touches
+    exactly one pose, so the 'sparse solve' is W independent 6x6 blocks).
+
+    `solve` (autodiff exact Newton over the joint theta) stays the
+    small-problem reference form; this one scales to G in the thousands.
+    """
+    import time as _time
+
+    W = R0.shape[0]
+    mu, sw_t, sw_r, axes, N = cluster_stats(f)
+    sw_t = jnp.where(N > 0.5, sw_t, 0.0)
+    sw_r = jnp.where(N[..., None] > 0.5, sw_r, 0.0)
+
+    R = jnp.asarray(R0)
+    p = jnp.asarray(p0)
+
+    cost_fn = jax.jit(
+        lambda R, p, n_g, mu_g: _pose_cost(
+            jnp.concatenate([lie.so3_log(R).reshape(-1), p.reshape(-1)]),
+            n_g, mu_g, mu, sw_t, sw_r, axes, W))
+
+    z6 = jnp.zeros(6)
+    rj = jax.vmap(jax.vmap(
+        lambda Rw, pw, n, mu_g, mu, swt, swr, axes: (
+            _res_gw(z6, Rw, pw, n, mu_g, mu, swt, swr, axes),
+            jax.jacfwd(lambda d: _res_gw(d, Rw, pw, n, mu_g, mu, swt,
+                                         swr, axes))(z6)),
+        in_axes=(0, 0, None, None, 0, 0, 0, 0)),   # over w
+        in_axes=(None, None, 0, 0, 0, 0, 0, 0))    # over g
+
+    @jax.jit
+    def gn_step(R, p, n_g, mu_g, u):
+        r, J = rj(R, p, n_g, mu_g, mu, sw_t, sw_r, axes)
+        H = jnp.einsum("gwri,gwrj->wij", J, J)          # (W, 6, 6)
+        g = jnp.einsum("gwri,gwr->wi", J, r)            # (W, 6)
+        D = jnp.diagonal(H, axis1=-2, axis2=-1)
+        A = H + u * D[..., None, :] * jnp.eye(6, dtype=H.dtype)
+        dx = jnp.linalg.solve(A, -g[..., None])[..., 0]  # (W, 6)
+        Rn = lie.so3_exp(dx[:, :3]) @ R
+        pn = p + dx[:, 3:]
+        return Rn, pn
+
+    total_it = 0
+    c0 = np.inf
+    for _cycle in range(outer_iters):
+        n_g, mu_g = refit(R, p, f)
+        R_last, p_last = R, p
+        u = u_init
+        v = 2.0
+        c0 = float(cost_fn(R, p, n_g, mu_g))
+        for _ in range(inner_iters):
+            Rt, pt = gn_step(R, p, n_g, mu_g, u)
+            c1 = float(cost_fn(Rt, pt, n_g, mu_g))
+            total_it += 1
+            if np.isfinite(c1) and c1 < c0:
+                rel = abs(c0 - c1) / max(c0, 1e-30)
+                R, p = Rt, pt
+                c0 = c1
+                if trace is not None:
+                    trace.append((_time.perf_counter(), np.asarray(R),
+                                  np.asarray(p)))
+                u = max(u / 3.0, 1e-12)
+                v = 2.0
+                if rel < 1e-10:
+                    break
+            else:
+                u *= v
+                v *= 2.0
+                if u > 1e12:
+                    break
+        dmax = max(float(jnp.max(jnp.abs(R - R_last))),
+                   float(jnp.max(jnp.abs(p - p_last))))
+        if dmax < dx_tol:
+            break
+
+    R, p = lie.gauge_fix(R, p)                   # BAREG_test.cpp:281-288
+    return R, p, c0, total_it

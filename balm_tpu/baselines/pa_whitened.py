@@ -123,3 +123,133 @@ def solve(R0, p0, f: Fmod.PlaneFactors, *, max_iters: int = 100,
     R = lie.so3_exp(rv)
     R, pos = lie.gauge_fix(R, pos)                       # PA_test.cpp:296-303
     return R, pos, c0, it
+
+
+def _rt(delta, dpi, R, p, pi):
+    """Whitened residual direction [Exp(d)R)^T n ; (p+dp).n + d] for one
+    (plane, scan) pair, as a function of the local perturbation — the
+    jacobian source for the Gauss-Newton Schur solve."""
+    Rw = lie.so3_exp(delta[None, :3])[0] @ R
+    pw = p + delta[3:]
+    piw = pi + dpi
+    d = jnp.linalg.norm(piw)
+    ds = jnp.maximum(d, 1e-12)
+    n = piw / ds
+    return jnp.concatenate([Rw.T @ n, (pw @ n + d)[None]])
+
+
+def solve_schur(R0, p0, f: Fmod.PlaneFactors, *, max_iters: int = 100,
+                u_init: float = 1e-4, ftol: float = 1e-10, trace=None):
+    """PA at full problem scale: Gauss-Newton LM with the planes
+    eliminated by a dense Schur complement — the reference's Ceres
+    DENSE_SCHUR configuration (PA_test.cpp:278-283: Options
+    linear_solver_type = DENSE_SCHUR, use_inner_iterations) expressed as
+    batched jacobians + one (6W, 6W) reduced solve per iteration.
+
+    Identical cost/residual model to `solve` (which materializes the
+    joint dense Hessian via autodiff and is the faithful small-problem
+    form); this variant scales to G in the thousands where the joint
+    (6W+3G)^2 system is out of reach for any dense backend.
+    """
+    import time as _time
+
+    import numpy as _np
+
+    W = R0.shape[0]
+    G = f.num_planes
+    M = jnp.asarray(f.C)                                  # (G, W, 4, 4)
+    T0 = lie.pose_matrix(jnp.asarray(R0), jnp.asarray(p0))
+    pis = init_planes(T0, f)
+    R = jnp.asarray(R0)
+    p = jnp.asarray(p0)
+
+    obs = M[..., 3, 3] > 0.5                              # (G, W)
+
+    def cost(R, p, pis):
+        d = jnp.linalg.norm(pis, axis=-1)
+        ds = jnp.maximum(d, 1e-12)
+        n = pis / ds[:, None]
+        Rtn = jnp.einsum("wab,ga->gwb", R, n)
+        pn = jnp.einsum("wa,ga->gw", p, n) + d[:, None]
+        rt = jnp.concatenate([Rtn, pn[..., None]], axis=-1)
+        return jnp.sum(jnp.einsum("gwa,gwab,gwb->gw", rt, M, rt))
+
+    cost_j = jax.jit(cost)
+
+    z6 = jnp.zeros(6)
+    z3 = jnp.zeros(3)
+    rt_and_jac = jax.jit(jax.vmap(jax.vmap(
+        lambda R, p, pi: (
+            _rt(z6, z3, R, p, pi),
+            jax.jacfwd(lambda dl: _rt(dl[:6], dl[6:], R, p, pi))(
+                jnp.zeros(9))),
+        in_axes=(0, 0, None)), in_axes=(None, None, 0)))
+
+    @jax.jit
+    def build(R, p, pis, u):
+        rt, J = rt_and_jac(R, p, pis)                     # (G,W,4),(G,W,4,9)
+        m = obs[..., None, None]
+        MJ = jnp.einsum("gwab,gwbj->gwaj", M, J) * m      # (G, W, 4, 9)
+        # cost = rt^T M rt -> grad = 2 J^T M rt, GN Hessian = 2 J^T M J
+        A = 2.0 * jnp.einsum("gwai,gwaj->gwij", J, MJ)    # (G, W, 9, 9)
+        g_all = 2.0 * jnp.einsum(
+            "gwa,gwaj->gwj", rt, MJ)                      # (G, W, 9)
+        Hpp = jnp.sum(A[..., :6, :6], axis=0)             # (W, 6, 6)
+        Hgg = jnp.sum(A[..., 6:, 6:], axis=1)             # (G, 3, 3)
+        U = A[..., :6, 6:]                                # (G, W, 6, 3)
+        gp = jnp.sum(g_all[..., :6], axis=0)              # (W, 6)
+        gg = jnp.sum(g_all[..., 6:], axis=1)              # (G, 3)
+
+        eye3 = jnp.eye(3, dtype=M.dtype)
+        Hgg_d = Hgg + u * eye3 * jnp.maximum(
+            jnp.diagonal(Hgg, axis1=-2, axis2=-1), 1e-12)[..., None, :]
+        K = jnp.linalg.inv(Hgg_d)                         # (G, 3, 3)
+
+        # reduced system S = blockdiag(Hpp + uD) - sum_g U K U^T
+        S = jnp.zeros((6 * W, 6 * W), M.dtype)
+        iw = jnp.arange(W)
+        Dpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+        Hpp_d = Hpp + u * Dpp[..., None, :] * jnp.eye(6, dtype=M.dtype)
+        S = S.reshape(W, 6, W, 6).at[iw, :, iw, :].add(Hpp_d).reshape(
+            6 * W, 6 * W)
+        UK = jnp.einsum("gwac,gcd->gwad", U, K)           # (G, W, 6, 3)
+        S = S - jnp.einsum("gwad,gvbd->wavb", UK, U).reshape(
+            6 * W, 6 * W)
+        rhs = -gp.reshape(-1) + jnp.einsum(
+            "gwad,gd->wa", UK, gg).reshape(-1)
+        dx = jnp.linalg.solve(S, rhs)                     # (6W,)
+        dxw = dx.reshape(W, 6)
+        dpi = -jnp.einsum(
+            "gcd,gd->gc", K,
+            gg + jnp.einsum("gwdc,wd->gc", U, dxw))       # (G, 3)
+        return dxw, dpi
+
+    u = u_init
+    v = 2.0
+    c0 = float(cost_j(R, p, pis))
+    it = 0
+    for it in range(1, max_iters + 1):
+        dxw, dpi = build(R, p, pis, u)
+        Rt = lie.so3_exp(dxw[:, :3]) @ R
+        pt = p + dxw[:, 3:]
+        pit = pis + dpi
+        c1 = float(cost_j(Rt, pt, pit))
+        if jnp.isfinite(c1) and c1 < c0:
+            rel = abs(c0 - c1) / max(c0, 1e-30)
+            R, p, pis = Rt, pt, pit
+            c0 = c1
+            if trace is not None:
+                trace.append((_time.perf_counter(), _np.asarray(R),
+                              _np.asarray(p)))
+            u = max(u / 3.0, 1e-12)
+            v = 2.0
+            if rel < ftol:
+                break
+        else:
+            u *= v
+            v *= 2.0
+            if u > 1e12:
+                break
+
+    R, p = lie.gauge_fix(R, p)                            # PA_test.cpp:296-303
+    return R, p, c0, it

@@ -72,6 +72,8 @@ def phase_prep():
 def phase_solve():
     import jax
 
+    if os.environ.get("NEES_FORCE_CPU", "0") == "1":
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
@@ -101,10 +103,36 @@ def phase_solve():
             body_centers=jnp.asarray(z["rc_bc"]))
         res = lm.damping_iter(Rg, pg, fr, scfg, centered=True,
                               backend="packed", hess_precision="high")
-        pkf = packed_mod.pack_factors(fr)
-        _, _, H32 = pe.evaluate_packed(
-            res.R, res.p, pkf, interpret=interp,
-            hess_precision=jax.lax.Precision.HIGH)
+        hess_mode = os.environ.get("NEES_HESS", "packed32")
+        if hess_mode == "oracle64":
+            # diagnostic: f32 solve but f64 oracle H (isolates whether a
+            # NEES failure comes from the solve floor or the H precision)
+            z64 = np.load(WORK / f"seed{s}.npz")
+            import jax.numpy as _jnp
+
+            from balm_tpu.ops import lie as _lie
+            with jax.experimental.enable_x64():
+                f64 = Fmod.PlaneFactors(
+                    C=_jnp.asarray(z64["C"], _jnp.float64),
+                    Cfix=_jnp.asarray(np.load(WORK / "common.npz")["Cfix"]),
+                    coe=_jnp.asarray(np.load(WORK / "common.npz")["coe"]),
+                    centers=_jnp.asarray(
+                        np.load(WORK / "common.npz")["centers"]),
+                    body_centers=_jnp.zeros(
+                        (z64["C"].shape[0], Rg.shape[0], 3)))
+                T = _lie.pose_matrix(
+                    _jnp.asarray(np.asarray(res.R), _jnp.float64),
+                    _jnp.asarray(np.asarray(res.p), _jnp.float64))
+                _, _, H32 = Fmod.evaluate(T, f64)
+        else:
+            pkf = packed_mod.pack_factors(fr)
+            # the f32 matmul-precision scope is mandatory on TPU: outside
+            # it the default is ONE bf16 pass and the H comes out ~25%
+            # wrong (the round-4 first-run NEES failure: mean ratio 2.46)
+            with jax.default_matmul_precision("float32"):
+                _, _, H32 = pe.evaluate_packed(
+                    res.R, res.p, pkf, interpret=interp,
+                    hess_precision=jax.lax.Precision.HIGH)
         sync.fetch_scalar(res.residual)
         np.savez(WORK / f"solved{s}.npz",
                  R=np.asarray(res.R), p=np.asarray(res.p),

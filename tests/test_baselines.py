@@ -180,3 +180,35 @@ def test_method_ordering_matches_reference():
     # (the reference's speed ordering; at unlimited budget all converged
     # methods sit at the same noise floor)
     assert rot_ef > rot_balm2
+
+
+def test_pa_schur_matches_joint():
+    """solve_schur (the DENSE_SCHUR-scale form) reaches the same optimum
+    as the joint dense solve and recovers the poses."""
+    from balm_tpu.baselines import pa_whitened
+
+    R_gt, p_gt, R0, p0, body, f, pf = setup(seed=7)
+    R1, p1, c1, it1 = pa_whitened.solve(R0, p0, f)
+    R2, p2, c2, it2 = pa_whitened.solve_schur(R0, p0, f)
+    assert it2 > 0
+    assert abs(c1 - c2) < 1e-6 * max(abs(c1), 1.0), (c1, c2)
+    Rg, pg = lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
+    rot, tra = metrics.pose_rsme(R2, p2, Rg, pg)
+    assert float(rot) * 57.3 < 0.5
+    assert float(tra) < 0.03
+
+
+def test_bareg_gn_matches_joint():
+    """solve_gn (the full-scale GN form) reaches the same optimum as the
+    autodiff-Newton inner solve and recovers the poses."""
+    from balm_tpu.baselines import bareg
+
+    R_gt, p_gt, R0, p0, body, f, pf = setup(seed=8)
+    R1, p1, c1, it1 = bareg.solve(R0, p0, f)
+    R2, p2, c2, it2 = bareg.solve_gn(R0, p0, f)
+    assert it2 > 0
+    assert abs(c1 - c2) < 1e-5 * max(abs(c1), 1e-9), (c1, c2)
+    Rg, pg = lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
+    rot, tra = metrics.pose_rsme(R2, p2, Rg, pg)
+    assert float(rot) * 57.3 < 0.5
+    assert float(tra) < 0.03
