@@ -159,11 +159,31 @@ def _shifted_poses(T, f: PlaneFactors):
 
 
 def _shifted_fix(f: PlaneFactors):
-    """Recenter the world-frame fixed moment: S Cfix S^T."""
-    S = jnp.broadcast_to(
-        jnp.eye(4, dtype=f.Cfix.dtype), f.Cfix.shape
-    ).at[..., :3, 3].set(-f.centers)
-    return S @ f.Cfix @ jnp.swapaxes(S, -1, -2)
+    """Recenter the world-frame fixed moment: S Cfix S^T with S = shift
+    by -centers, written as the explicit parallel-axis form
+
+        P' = P - c v^T - v c^T + N c c^T,   v' = v - N c
+
+    Elementwise on purpose: `S @ Cfix @ S^T` would ride the MXU, whose
+    f32 matmuls default to ONE bf16 pass on TPU — for a nonzero Cfix
+    (marginalized prior, e.g. the consistency pipeline) that corrupts
+    the moment at the 0.4% level and sends lambda_0 negative (found via
+    a NEES mean ratio of 2.46 in round 4; realworld never sees it
+    because its Cfix is zero)."""
+    P = f.Cfix[..., :3, :3]
+    v = f.Cfix[..., :3, 3]
+    N = f.Cfix[..., 3, 3]
+    c = f.centers
+    Pn = (P - c[..., :, None] * v[..., None, :]
+          - v[..., :, None] * c[..., None, :]
+          + N[..., None, None] * c[..., :, None] * c[..., None, :])
+    vn = v - N[..., None] * c
+    out = jnp.zeros_like(f.Cfix)
+    out = out.at[..., :3, :3].set(Pn)
+    out = out.at[..., :3, 3].set(vn)
+    out = out.at[..., 3, :3].set(vn)
+    out = out.at[..., 3, 3].set(N)
+    return out
 
 
 def _plane_moment(T, f: PlaneFactors, centered: bool):
