@@ -51,6 +51,11 @@ class RealworldConfig:
     # solver backend: 'auto' picks the packed TPU fast path when running
     # centered f32 on a TPU, the XLA evaluator otherwise
     backend: str = "auto"
+    # association backend: 'auto' (the on-device voxelizer when running
+    # centered f32 on a TPU with no host-side consumers of the per-point
+    # maps — merge/stages/export; the native C++ host engine otherwise),
+    # 'device', 'native', or 'numpy'.
+    assoc_backend: str = "auto"
     # factor-parallel execution: shard the plane axis over the first N
     # devices (jax.sharding mesh; the psum XLA inserts replaces the
     # reference's 4-thread join, bavoxel.hpp:1025-1059).  0/1 = single
@@ -103,37 +108,68 @@ def run(cfg: RealworldConfig = RealworldConfig(), *, verbose: bool = False):
             scans, R, p, list(cfg.stages), cfg.solver,
             dtype=cfg.dtype, centered=cfg.centered, verbose=verbose)
 
-    t0 = time.perf_counter()
-    vres = grid.voxelize(scans, R, p, cfg.voxel, dtype=np.float64)
-    t_assoc = time.perf_counter() - t0
-    f = vres.factors
-    num_planes = vres.num_planes
-    merged_planes = None
-    if cfg.merge_planes:
-        from ..voxel import merge as merge_mod
+    assoc = cfg.assoc_backend
+    needs_host_assoc = (cfg.merge_planes or cfg.export_dir is not None
+                        or cfg.stages is not None
+                        or not cfg.centered or dtype != jnp.float32)
+    if assoc == "auto":
+        assoc = ("device" if (jax.default_backend() == "tpu"
+                              and not needs_host_assoc)
+                 else "host")
+    elif assoc == "device" and needs_host_assoc:
+        raise ValueError(
+            "assoc_backend='device' supports the plain centered-f32 solve "
+            "path only (merge/stages/export consume host per-point maps)")
 
-        f, merged_planes, _ = merge_mod.merge_coplanar(f, num_planes)
-        f = Fmod.PlaneFactors(*[jnp.asarray(x) for x in f])
-        num_planes = merged_planes
-    if cfg.centered:
-        f = Fmod.recenter_bodies(f)
-    if dtype != jnp.float64:
-        f = f.astype(dtype)
-    # device-resident before the solve (numpy leaves would transfer
-    # inside the timed region — and again on every later dispatch)
-    f = jax.tree_util.tree_map(jnp.asarray, f)
+    merged_planes = None
+    if assoc == "device":
+        # association entirely on-chip: scans in, recentered f32
+        # PlaneFactors out (voxel/device.py) — no host octree, no
+        # host<->device factor traffic
+        from ..voxel import device as vdev
+
+        t0 = time.perf_counter()
+        dres = vdev.voxelize_device(
+            [s.astype(np.float32) for s in scans],
+            R.astype(np.float32), p.astype(np.float32), cfg.voxel,
+            want_point_leaf=False)
+        f = dres.factors
+        num_planes = int(dres.num_planes)     # one sync fetch
+        t_assoc = time.perf_counter() - t0
+        vres = None
+    else:
+        t0 = time.perf_counter()
+        vres = grid.voxelize(
+            scans, R, p, cfg.voxel, dtype=np.float64,
+            backend=assoc if assoc in ("native", "numpy") else "auto")
+        t_assoc = time.perf_counter() - t0
+        f = vres.factors
+        num_planes = vres.num_planes
+        if cfg.merge_planes:
+            from ..voxel import merge as merge_mod
+
+            f, merged_planes, _ = merge_mod.merge_coplanar(f, num_planes)
+            f = Fmod.PlaneFactors(*[jnp.asarray(x) for x in f])
+            num_planes = merged_planes
+        if cfg.centered:
+            f = Fmod.recenter_bodies(f)
+        if dtype != jnp.float64:
+            f = f.astype(dtype)
+        # device-resident before the solve (numpy leaves would transfer
+        # inside the timed region — and again on every later dispatch)
+        f = jax.tree_util.tree_map(jnp.asarray, f)
 
     summary = {
         "num_scans": W,
         "num_points": int(sum(len(s) for s in scans)),
-        "num_planes": vres.num_planes,
+        "num_planes": num_planes,
         "merged_planes": merged_planes,
         "t_load_s": t_load,
         "t_assoc_s": t_assoc,
         "stage_history": stage_history,
     }
     # degeneracy gate (benchmark_realworld.cpp:209-215)
-    if vres.num_planes < 3 * W:
+    if num_planes < 3 * W:
         summary["status"] = "too_few_planes"
         return summary
 

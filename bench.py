@@ -104,24 +104,72 @@ def main():
     cfg = realworld.RealworldConfig(dtype=dtype, centered=True)
     R, p, scans = realworld.load(cfg)
 
+    # host association (native C++ engine) — the CPU-fallback production
+    # path and the comparison point for the on-device voxelizer.
     # best-of-2: the first association pays ~1 GB of fresh page faults
     # (measured 2-10 s variance; see artifacts/parity_realworld.json
     # assoc_runs_s) — steady-state is the comparable number
-    t_assoc = np.inf
+    t_assoc_host = np.inf
     for _ in range(2):
         t0 = time.perf_counter()
         vres = grid.voxelize(scans, R, p, cfg.voxel, dtype=np.float64)
-        t_assoc = min(t_assoc, time.perf_counter() - t0)
-    f = Fmod.recenter_bodies(vres.factors).astype(jnp.dtype(dtype))
-    # recenter_bodies stays numpy on purpose (f64 before the f32 cast);
-    # the solve inputs must be DEVICE-RESIDENT or every run re-ships the
-    # ~62 MB factor tree through the tunnel (~0.6 s/run — this one line
-    # was 95% of the round-3 bench time before the fix)
-    f = jax.tree_util.tree_map(jnp.asarray, f)
+        t_assoc_host = min(t_assoc_host, time.perf_counter() - t0)
+
+    from balm_tpu.utils import sync as _sync
+
+    t_assoc = t_assoc_host
+    assoc_backend = "native_host"
+    planes_device = None
+    if on_tpu:
+        # PRODUCTION TPU association: on-chip voxelizer (voxel/device.py)
+        # — scans live in HBM (one-time transfer, excluded like the PCD
+        # load), association is a single jitted program slope-timed like
+        # the solve.  Capacities tuned for realworld (1.3x headroom;
+        # voxelize_device discovers them via retry elsewhere).
+        from balm_tpu.voxel import device as vdev
+
+        scans32 = [s.astype(np.float32) for s in scans]
+        body, mask = vdev.pad_scans(scans32, np.float32)
+        bd = jax.device_put(body)
+        md = jax.device_put(mask)
+        R32 = jax.device_put(R.astype(np.float32))
+        p32 = jax.device_put(p.astype(np.float32))
+        float(bd[-1, -1, 0])    # finish the transfer
+
+        kw = dict(
+            voxel_size=float(cfg.voxel.voxel_size),
+            layer_limit=int(cfg.voxel.layer_limit),
+            eigen_ratio=tuple(float(r) for r in cfg.voxel.eigen_ratio),
+            min_points=int(cfg.voxel.min_points),
+            min_observers=int(cfg.voxel.min_observers),
+            unit_coe=False,
+            cell_caps=(1 << 14, 1 << 16, 1 << 18),
+            Gcap=1 << 13, cs_cap=1 << 22, want_point_leaf=False)
+
+        def assoc(b):
+            return vdev._voxelize_core(b, md, R32, p32, **kw)
+
+        dres = assoc(bd)
+        planes_device = int(dres.num_planes)   # compile + fetch (sync)
+        if bool(dres.overflow):
+            raise RuntimeError("device voxelizer capacity overflow")
+        st = _sync.time_per_run(assoc, bd, k=4, reps=2, warmup=False)
+        t_assoc = st["per_run_s"]
+        assoc_backend = "device"
+        f = dres.factors
+        G = planes_device
+    if not on_tpu or planes_device is None:
+        f = Fmod.recenter_bodies(vres.factors).astype(jnp.dtype(dtype))
+        # recenter_bodies stays numpy on purpose (f64 before the f32
+        # cast); the solve inputs must be DEVICE-RESIDENT or every run
+        # re-ships the ~62 MB factor tree through the tunnel (~0.6 s/run
+        # — this one line was 95% of the round-3 bench time before the
+        # fix)
+        f = jax.tree_util.tree_map(jnp.asarray, f)
+        G = int(vres.num_planes)
     R = jnp.asarray(R, dtype)
     p = jnp.asarray(p, dtype)
     W = int(R.shape[0])
-    G = int(vres.num_planes)
 
     solver_cfg = SolverConfig(max_iters=10, u_init=0.01, rel_tol=0.0)
 
@@ -189,6 +237,10 @@ def main():
                     "accepted": n_acc,
                     "total_s": round(dt, 4),
                     "assoc_s": round(t_assoc, 3),
+                    "assoc_backend": assoc_backend,
+                    "assoc_host_native_s": round(t_assoc_host, 3),
+                    "planes_device": planes_device,
+                    "planes_host": int(vres.num_planes),
                     "end_to_end_s": round(end_to_end_s, 3),
                     "batch_stats": [
                         {k2: round(v, 4) for k2, v in s.items()}
