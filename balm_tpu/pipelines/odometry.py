@@ -92,6 +92,16 @@ class OdometryConfig:
     # study's failure mode (a 6-scan fast-rotation burst took the whole
     # remaining trajectory down).
     insert_min_frac: float = 0.3
+    # run the window BA in a worker thread while registration continues
+    # (the reference's optional detached map-refine thread,
+    # balm_front_back.cpp:169, 673-677).  The BA result is applied
+    # DEFERRED: window poses are corrected when the solve lands, and the
+    # correction at the window head is propagated to every scan
+    # registered in the meantime (new_k = (new_i old_i^-1) old_k).  The
+    # trajectory therefore differs slightly from the synchronous mode
+    # (registration i+1..i+ba_every used the pre-BA map/poses); drift is
+    # measured in artifacts/odometry_throughput.json.
+    async_ba: bool = False
 
 
 def _project_so3(R: np.ndarray) -> np.ndarray:
@@ -621,6 +631,77 @@ def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
         # could fire a spurious rescue on the first resumed scan)
         sc_state["prev"] = _desc(scans[max(i_start - 1, 0)])
 
+    # ---- window BA machinery (sync inline, or one detached worker) ----
+    ba_pending = None          # {"thread", "out", "idx"} when in flight
+
+    def _ba_solve(scans_w, Rw0, pw0):
+        """voxelize + solve one window; pure function of its inputs, so
+        it can run on a worker thread (native voxelizer + jitted solve
+        both release the GIL for their heavy parts)."""
+        vres = grid.voxelize(scans_w, Rw0, pw0, cfg.ba_voxel,
+                             dtype=np.float64, pad_to=512)
+        if vres.num_planes < 3:
+            return None
+        fj = Fmod.PlaneFactors(*[jnp.asarray(x) for x in vres.factors])
+        res = lm.damping_iter(jnp.asarray(Rw0), jnp.asarray(pw0), fj,
+                              cfg.ba_solver)
+        return np.asarray(res.R), np.asarray(res.p)
+
+    def _ba_apply(idx, job, i_now):
+        """Land a finished window solve: re-anchor the window at pose lo,
+        propagate the head-pose correction to scans registered since the
+        window closed, swap the re-posed scans' map contributions."""
+        if job is None:
+            return
+        Rw, pw = job
+        lo, i_ba = idx[0], idx[-1]
+        R_old = R[i_ba].copy()
+        p_old = p[i_ba].copy()
+        A = R[lo] @ Rw[0].T
+        b = p[lo] - A @ pw[0]
+        for j, jj in enumerate(idx):
+            R[jj] = _project_so3(A @ Rw[j])
+            p[jj] = A @ pw[j] + b
+        if i_now > i_ba:
+            # deferred landing: scans i_ba+1..i_now were chained from the
+            # pre-BA head pose — move them by the head correction
+            D = _project_so3(R[i_ba] @ R_old.T)
+            bD = p[i_ba] - D @ p_old
+            for k in range(i_ba + 1, i_now + 1):
+                R[k] = _project_so3(D @ R[k])
+                p[k] = D @ p[k] + bD
+        info["ba_runs"] += 1
+        # swap only the re-posed scans' contributions — O(window + lag),
+        # the map's frozen mass is untouched
+        for jj in list(contribs):
+            if jj >= lo:
+                vmap.remove(contribs[jj])
+                contribs[jj] = vmap.insert(scans[jj] @ R[jj].T + p[jj])
+
+    def _ba_launch(idx):
+        import threading
+
+        out = {}
+        args = ([scans[j] for j in idx], R[idx].copy(), p[idx].copy())
+
+        def work():
+            out["job"] = _ba_solve(*args)
+
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        return {"thread": th, "out": out, "idx": idx}
+
+    def _ba_join_apply(pending, i_now):
+        if pending is not None:
+            pending["thread"].join()
+            _ba_apply(pending["idx"], pending["out"].get("job"), i_now)
+        return None
+
+    def _ba_poll_apply(pending, i_now):
+        if pending is not None and not pending["thread"].is_alive():
+            return _ba_join_apply(pending, i_now)
+        return pending
+
     for i in range(i_start, W):
         # constant-motion prediction (balm_front_back.cpp:580-589)
         if i >= 2:
@@ -718,47 +799,30 @@ def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
                 (i + 1) % cfg.ba_every == 0 or i == W - 1):
             lo = i - cfg.window + 1
             idx = list(range(lo, i + 1))
-            # coarse plane-axis padding: every new plane count would
-            # otherwise recompile the window-BA solver
-            vres = grid.voxelize(
-                [scans[j] for j in idx], R[idx], p[idx], cfg.ba_voxel,
-                dtype=np.float64, pad_to=512,
-            )
-            if vres.num_planes >= 3:
-                fj = Fmod.PlaneFactors(
-                    *[jnp.asarray(x) for x in vres.factors]
-                )
-                res = lm.damping_iter(
-                    jnp.asarray(R[idx]), jnp.asarray(p[idx]), fj,
-                    cfg.ba_solver,
-                )
-                # re-anchor the window to keep pose lo fixed (the past is
-                # already marginalized into the map)
-                Rw = np.asarray(res.R)
-                pw = np.asarray(res.p)
-                A = R[lo] @ Rw[0].T
-                b = p[lo] - A @ pw[0]
-                for j, jj in enumerate(idx):
-                    R[jj] = _project_so3(A @ Rw[j])
-                    p[jj] = A @ pw[j] + b
-                info["ba_runs"] += 1
-                # swap only the re-optimized scans' contributions —
-                # O(window), the map's frozen mass is untouched
-                for jj in idx:
-                    if jj in contribs:
-                        vmap.remove(contribs[jj])
-                        contribs[jj] = vmap.insert(
-                            scans[jj] @ R[jj].T + p[jj])
+            if cfg.async_ba and i < W - 1:
+                # detached refine (balm_front_back.cpp:673-677): at most
+                # one solve in flight; a due BA first lands the previous
+                ba_pending = _ba_join_apply(ba_pending, i)
+                ba_pending = _ba_launch(idx)
+            else:
+                job = _ba_solve([scans[j] for j in idx],
+                                R[idx].copy(), p[idx].copy())
+                _ba_apply(idx, job, i)
+        ba_pending = _ba_poll_apply(ba_pending, i)
         if verbose and i % 10 == 0:
             print(f"scan {i}: reg pts {used}, planes {len(vmap.plane_table()[1])}")
 
         stopping = stop_after_scan and i >= stop_after_scan and i < W - 1
         if checkpoint_path is not None and checkpoint_every > 0 and (
                 (i + 1) % checkpoint_every == 0 or stopping):
+            # a checkpoint must capture a landed state: join any
+            # in-flight window solve first so resume reproduces it
+            ba_pending = _ba_join_apply(ba_pending, i)
             ckpt.save_odometry(cpath, i + 1, R, p, vmap.state_dict(),
                                contribs, info)
         if stopping:
             info["stopped_at"] = i
             break
 
+    ba_pending = _ba_join_apply(ba_pending, W - 1)
     return R, p, info

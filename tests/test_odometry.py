@@ -166,3 +166,25 @@ def test_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(pb, pa, atol=1e-12)
     assert info_b["ba_runs"] == info_a["ba_runs"]
     assert info_b["reg_points"] == info_a["reg_points"]
+
+
+def test_async_ba_tracks_trajectory():
+    """The detached window-BA mode (balm_front_back.cpp:673-677
+    equivalent) must track the trajectory about as well as the
+    synchronous mode — the deferred landing may differ slightly, but
+    both must stay accurate on a healthy scene."""
+    from balm_tpu.utils import metrics
+
+    R_gt, p_gt, scans = make_long_scene(W=20, n_planes=40, pts_per=150,
+                                        seed=21)
+    outs = {}
+    for mode in (False, True):
+        cfg = odometry.OdometryConfig(async_ba=mode)
+        R, p, info = odometry.run(scans, cfg)
+        rot, tra = metrics.pose_rsme(
+            jnp.asarray(R), jnp.asarray(p),
+            jnp.asarray(R_gt), jnp.asarray(p_gt))
+        outs[mode] = (float(rot) * 57.3, float(tra), info["ba_runs"])
+    assert outs[True][2] >= 2                       # BAs actually ran
+    assert outs[True][0] < 2.0 * max(outs[False][0], 0.05), outs
+    assert outs[True][1] < 2.0 * max(outs[False][1], 0.005), outs
