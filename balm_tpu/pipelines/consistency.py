@@ -65,6 +65,12 @@ class ConsistencyConfig:
     # H taken from the SAME evaluator at the converged estimate — the
     # deepest oracle run against the configuration users actually get.
     backend: str = "xla"
+    # build the voxel map INCREMENTALLY, scan by scan, exactly as the
+    # reference streams them (cut_voxel per scan into a persistent map,
+    # recut/harvest once the window fills — consistency.cpp:127-136);
+    # False = one-shot batch association (equivalent final state,
+    # tests/test_voxelize.py::test_streaming_voxelizer_equals_batch)
+    streaming: bool = False
 
 
 def load(cfg: ConsistencyConfig):
@@ -128,9 +134,15 @@ def prepare(cfg: ConsistencyConfig, *, scans_override=None):
     else:
         R, p, scans = load(cfg)
     fix = cfg.fix_size
-    vres = grid.voxelize(
-        scans, R, p, cfg.voxel, dtype=np.float64, weighting="unit"
-    )
+    if cfg.streaming:
+        sv = grid.StreamingVoxelizer(len(scans), cfg.voxel)
+        for m, s in enumerate(scans):       # consistency.cpp:127
+            sv.insert(m, s, R[m], p[m])
+        vres = sv.finalize(weighting="unit")
+    else:
+        vres = grid.voxelize(
+            scans, R, p, cfg.voxel, dtype=np.float64, weighting="unit"
+        )
     f_all = vres.factors
     if cfg.use_variant_gates:
         keep = variant_gates(vres, scans, R, p, cfg)

@@ -375,3 +375,155 @@ def down_sample_voxel(points: np.ndarray, voxel_size: float) -> np.ndarray:
     for a in range(3):
         out[:, a] = np.bincount(inv, points[:, a], minlength=n) / cnt
     return out
+
+
+class StreamingVoxelizer:
+    """Incremental root-cell accumulation — the reference's per-scan
+    `cut_voxel` into a persistent map (consistency.cpp:127-136,
+    bavoxel.hpp:1170-1223): each inserted scan routes its points into
+    root voxels, keeping BOTH the raw per-scan point lists (vec_orig/
+    vec_tran) and running per-(cell, scan) cluster moments (sig_orig/
+    sig_tran).  `finalize` then runs the subdivision/harvest exactly like
+    the one-shot `voxelize` (recut + tras_opt are invoked once, when the
+    window is full — consistency.cpp:132-136), reusing the incrementally
+    accumulated layer-0 moments for the root planarity decisions.
+
+    Final factors are equivalent to batch `voxelize` on the same scans
+    (tests/test_voxelize.py pins the equality).
+    """
+
+    def __init__(self, W: int, cfg: VoxelConfig = VoxelConfig(), *,
+                 dtype=np.float64):
+        self.W = W
+        self.cfg = cfg
+        self.dtype = dtype
+        self._scans = []          # (scan_id, body, world, key) chunks
+        self._cells = {}          # root key -> (G, W-slot moment dict)
+        self._moments = {}        # root key -> {scan: (4,4) moment}
+        self.n_inserted = 0
+
+    def insert(self, scan_idx: int, pts_body: np.ndarray,
+               R: np.ndarray, p: np.ndarray):
+        """Route one scan's points into root voxels (cut_voxel)."""
+        body = pts_body.astype(self.dtype, copy=False)
+        world = body @ R.astype(self.dtype).T + p.astype(self.dtype)
+        coords = np.floor(world / self.cfg.voxel_size).astype(np.int64)
+        if np.any(np.abs(coords) >= _OFFSET):
+            raise ValueError("point cloud exceeds voxel-grid index range")
+        key = (((coords[:, 0] + _OFFSET) << 42)
+               | ((coords[:, 1] + _OFFSET) << 21)
+               | (coords[:, 2] + _OFFSET))
+        self._scans.append((scan_idx, body, world, key))
+        # running per-(cell, scan) world moments (sig_tran): the root
+        # decisions in finalize() come from THESE accumulators, not a
+        # batch recompute
+        uniq, inv = np.unique(key, return_inverse=True)
+        C = _moment_bincount(world, inv, len(uniq))
+        for k, Ck in zip(uniq, C):
+            slot = self._moments.setdefault(int(k), {})
+            if scan_idx in slot:
+                slot[scan_idx] = slot[scan_idx] + Ck
+            else:
+                slot[scan_idx] = Ck
+        self.n_inserted += 1
+
+    def finalize(self, *, pad_to: int = 128, weighting: str = "unit"):
+        """recut + tras_opt over the accumulated map -> VoxelizeResult."""
+        cfg = self.cfg
+        keys = sorted(self._moments)
+        key_to_cell = {k: i for i, k in enumerate(keys)}
+        n_cells = len(keys)
+        # layer-0 moments from the INCREMENTAL accumulators
+        C0 = np.zeros((n_cells, 4, 4), self.dtype)
+        for k, slot in self._moments.items():
+            C0[key_to_cell[k]] = sum(slot.values())
+        is_plane0, dec0, cent0, _ = _plane_test(
+            C0, cfg.eigen_ratio[0])
+        alive0 = C0[:, 3, 3] > cfg.min_points
+        is_plane0 &= alive0
+
+        # assemble the point-level view once for subdivision + emission
+        scan_id = np.concatenate([
+            np.full(len(b), s, np.int64) for s, b, _, _ in self._scans])
+        body = np.concatenate([b for _, b, _, _ in self._scans])
+        world = np.concatenate([w for _, _, w, _ in self._scans])
+        key = np.concatenate([k for _, _, _, k in self._scans])
+        cell_of_point = np.asarray(
+            [key_to_cell[int(k)] for k in np.unique(key)])[
+                np.searchsorted(np.asarray(keys), key)]
+
+        point_leaf = np.full(len(body), -1, np.int64)
+        leaf_C, leaf_center, leaf_layer, leaf_dec = [], [], [], []
+
+        # layer-0 plane leaves (from the incremental moments)
+        plane_ids = np.nonzero(is_plane0)[0]
+        W = self.W
+        if len(plane_ids):
+            remap = np.full(n_cells, -1, np.int64)
+            remap[plane_ids] = np.arange(len(plane_ids))
+            on_plane = remap[cell_of_point] >= 0
+            leafid = remap[cell_of_point[on_plane]]
+            seg = leafid * W + scan_id[on_plane]
+            Cl = _moment_bincount(body[on_plane], seg,
+                                  len(plane_ids) * W)
+            leaf_C.append(Cl.reshape(len(plane_ids), W, 4, 4))
+            point_leaf[on_plane] = leafid
+            leaf_center.append(cent0[plane_ids])
+            leaf_layer.append([0] * len(plane_ids))
+            leaf_dec.append(dec0[plane_ids])
+
+        # deeper layers: delegate to the batch pipeline restricted to
+        # subdividing cells (recut recursion, identical semantics)
+        can_split = alive0 & ~is_plane0 & (cfg.layer_limit > 0)
+        sel = can_split[cell_of_point]
+        if np.any(sel):
+            import dataclasses as _dc
+
+            # subdivision runs in WORLD space (identity poses over the
+            # already-transformed points); the deeper leaves' factor
+            # moments are then rebuilt from the true BODY coordinates
+            sub_scans = []
+            for w in range(W):
+                m = sel & (scan_id == w)
+                sub_scans.append(world[m])
+            sub = voxelize(
+                sub_scans, np.tile(np.eye(3), (W, 1, 1)),
+                np.zeros((W, 3)), _dc.replace(cfg), dtype=self.dtype,
+                pad_to=pad_to, weighting=weighting, backend="numpy")
+            # sub re-derives roots over the same grid -> only deeper
+            # leaves appear (roots that pass here were already excluded)
+            n0 = sum(len(c) for c in leaf_C)
+            keep = sub.leaf_layer > 0
+            kidx = np.nonzero(keep)[0]
+            if len(kidx):
+                remap2 = np.full(sub.num_planes, -1, np.int64)
+                remap2[kidx] = np.arange(len(kidx)) + n0
+                subm = sub.point_leaf >= 0
+                gidx = np.nonzero(sel)[0]
+                # sub's points are ordered scan-major; rebuild the map
+                order = np.concatenate(
+                    [gidx[scan_id[gidx] == w] for w in range(W)])
+                point_leaf[order[subm]] = remap2[sub.point_leaf[subm]]
+                # body-frame moments for the deeper leaves
+                deep = point_leaf >= n0
+                seg2 = ((point_leaf[deep] - n0) * W + scan_id[deep])
+                C2 = _moment_bincount(body[deep], seg2, len(kidx) * W)
+                leaf_C.append(C2.reshape(len(kidx), W, 4, 4))
+                leaf_center.append(sub.leaf_center[kidx])
+                leaf_layer.append(sub.leaf_layer[kidx])
+                leaf_dec.append(sub.leaf_decision[kidx])
+
+        if leaf_C:
+            C_all = np.concatenate(leaf_C, 0)
+            centers_all = np.concatenate(leaf_center, 0)
+            layers_all = np.concatenate(
+                [np.asarray(x) for x in leaf_layer])
+            dec_all = np.concatenate(leaf_dec)
+        else:
+            C_all = np.zeros((0, W, 4, 4), self.dtype)
+            centers_all = np.zeros((0, 3), self.dtype)
+            layers_all = np.zeros((0,), np.int64)
+            dec_all = np.zeros((0,), self.dtype)
+        return _assemble(C_all, centers_all, layers_all, dec_all,
+                         point_leaf, scan_id, W, self.cfg, self.dtype,
+                         pad_to, weighting)

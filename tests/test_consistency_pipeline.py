@@ -77,3 +77,17 @@ def test_nees_through_production_f32_packed_path():
     assert out32["iters"] < 200
     assert out32["err_trans_rms_m"] < 0.02
     assert out32["err_rot_rms_deg"] < 0.1
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference dataset not mounted")
+def test_streaming_map_build_matches_batch():
+    """Incremental (per-scan cut_voxel) map construction must reach the
+    same NEES experiment state as the batch association."""
+    cfg_b = consistency.ConsistencyConfig(num_scans=25, seed=5)
+    cfg_s = consistency.ConsistencyConfig(num_scans=25, seed=5,
+                                          streaming=True)
+    out_b = consistency.run(cfg_b)
+    out_s = consistency.run(cfg_s)
+    assert out_s["num_planes"] == out_b["num_planes"]
+    assert abs(out_s["nees"] - out_b["nees"]) < 1e-3 * max(
+        abs(out_b["nees"]), 1.0), (out_s["nees"], out_b["nees"])

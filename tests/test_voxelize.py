@@ -168,3 +168,31 @@ def test_down_sample_voxel():
     assert len(out) > 0
     # centroids stay inside their voxel
     assert np.all(np.floor(out) == np.floor(out))
+
+
+def test_streaming_voxelizer_equals_batch():
+    """Per-scan cut_voxel into a persistent map, recut+harvest once when
+    the window fills (consistency.cpp:127-136) — final factors must
+    equal the one-shot batch voxelization."""
+    R, p, scans = make_scene(seed=23, W=5, n_planes=10, pts_per=300)
+    cfg = VoxelConfig(voxel_size=1.0, min_observers=2)
+    batch = grid.voxelize(scans, R, p, cfg, pad_to=16, backend="numpy",
+                          weighting="unit")
+
+    sv = grid.StreamingVoxelizer(len(scans), cfg)
+    for i, s in enumerate(scans):
+        sv.insert(i, s, R[i], p[i])
+    stream = sv.finalize(pad_to=16, weighting="unit")
+
+    assert stream.num_planes == batch.num_planes
+    ob = np.lexsort(np.round(batch.leaf_center, 6).T)
+    os_ = np.lexsort(np.round(stream.leaf_center, 6).T)
+    np.testing.assert_allclose(batch.leaf_center[ob],
+                               stream.leaf_center[os_], atol=1e-9)
+    assert np.array_equal(batch.leaf_layer[ob], stream.leaf_layer[os_])
+    np.testing.assert_allclose(
+        np.asarray(batch.factors.C[:batch.num_planes])[ob],
+        np.asarray(stream.factors.C[:stream.num_planes])[os_], atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(batch.factors.coe[:batch.num_planes])[ob],
+        np.asarray(stream.factors.coe[:stream.num_planes])[os_], atol=0)
