@@ -613,3 +613,163 @@ def run(
     if verbose:
         print(f"hierarchical: {nb} blocks, top planes {top_planes}")
     return np.asarray(Rj), np.asarray(pj), info
+
+
+def run_device_batched(
+    scans,
+    R0: np.ndarray,
+    p0: np.ndarray,
+    *,
+    block: int = 16,
+    cycles: int = 2,
+    voxel: VoxelConfig = VoxelConfig(min_observers=2),
+    top_voxel: VoxelConfig | None = None,
+    solver: SolverConfig = SolverConfig(
+        max_iters=8, u_init=0.01, min_planes_per_pose=0, gauge_fix=False),
+    top_solver: SolverConfig = SolverConfig(
+        max_iters=10, u_init=0.01, min_planes_per_pose=0,
+        gauge_fix=False),
+    block_caps=(1 << 10, 1 << 12, 1 << 14),
+    Gcap_block: int = 256,
+    cs_cap_block: int = 1 << 15,
+    top_caps=(1 << 14, 1 << 16, 1 << 18),
+    Gcap_top: int = 1 << 13,
+    cs_cap_top: int = 1 << 21,
+    verbose: bool = False,
+):
+    """Hierarchical BA where EVERY level is a single batched device
+    program — the TPU-native large-W configuration (SURVEY §2.7: block
+    axis = data parallelism; the reference's dense solver stops at
+    W = 177, bavoxel.hpp:1113-1114).
+
+    Per cycle:
+      1. bottom: all blocks' association runs as ONE vmapped on-device
+         voxelization (voxel/device.py) over the (B, Wb) block axis, in
+         block-anchor frames; all blocks' window BAs run as ONE vmapped
+         packed damped-Newton solve.
+      2. top: every refined block becomes a super-scan (its points in
+         the anchor frame at the refined relative poses — an elementwise
+         device transform); the B anchor poses are associated (again
+         on-device) and solved with the packed evaluator.
+      3. compose scan poses = top anchor ∘ refined block-relative.
+
+    Four device dispatches per cycle regardless of W — the W = 2048
+    dense-evaluate remote-compile ceiling (artifacts/roofline.json)
+    never applies because no sub-program exceeds (Wb | B) poses.
+
+    Requires W % block == 0 (pad/crop the trajectory to a multiple).
+    Returns (R, p, info).
+    """
+    import functools
+    import time as _time
+
+    from ..voxel import device as vdev
+
+    W = len(scans)
+    if W % block != 0:
+        raise ValueError(f"W={W} must be a multiple of block={block}")
+    B = W // block
+    top_voxel = top_voxel or voxel
+    idx = np.arange(W).reshape(B, block)
+
+    body_h, mask_h = vdev.pad_scans(
+        [s.astype(np.float32) for s in scans], np.float32)
+    body = jnp.asarray(body_h)
+    mask = jnp.asarray(mask_h)
+    Nmax = body.shape[1]
+
+    def core_kw(vcfg, caps, Gcap, cs_cap):
+        return dict(
+            voxel_size=float(vcfg.voxel_size),
+            layer_limit=int(vcfg.layer_limit),
+            eigen_ratio=tuple(float(r) for r in vcfg.eigen_ratio),
+            min_points=int(vcfg.min_points),
+            min_observers=int(vcfg.min_observers),
+            unit_coe=False,
+            cell_caps=tuple(int(c) for c in caps),
+            Gcap=int(Gcap), cs_cap=int(cs_cap),
+            want_point_leaf=False)
+
+    bcore = functools.partial(
+        vdev._voxelize_core, **core_kw(voxel, block_caps, Gcap_block,
+                                       cs_cap_block))
+    vcore = jax.vmap(lambda b, m, R, p: bcore(b, m, R, p))
+    tcore = functools.partial(
+        vdev._voxelize_core, **core_kw(top_voxel, top_caps, Gcap_top,
+                                       cs_cap_top))
+
+    vsolve = jax.vmap(lambda R, p, f: lm.damping_iter(
+        R, p, f, solver, centered=True, backend="packed"))
+
+    @jax.jit
+    def super_scans(bb, mb, Rr, pr):
+        sp = (Rr[:, :, None, :, 0] * bb[..., 0, None]
+              + Rr[:, :, None, :, 1] * bb[..., 1, None]
+              + Rr[:, :, None, :, 2] * bb[..., 2, None]) \
+            + pr[:, :, None, :]
+        return sp.reshape(B, block * Nmax, 3), mb.reshape(B, -1)
+
+    def _proj(Rm):
+        u, _, vt = np.linalg.svd(Rm)
+        return u @ vt
+
+    R = np.array(R0, np.float64)
+    p = np.array(p0, np.float64)
+    info = {"timings": [], "block_planes": None, "top_planes": None,
+            "overflow": False}
+
+    bb = body[idx.reshape(-1)].reshape(B, block, Nmax, 3)
+    mb = mask[idx.reshape(-1)].reshape(B, block, Nmax)
+
+    for cyc in range(cycles):
+        t = {}
+        t0 = _time.perf_counter()
+        Ra = R[idx[:, 0]]
+        pa = p[idx[:, 0]]
+        R_rel = np.einsum("bca,bwcd->bwad", Ra, R[idx])
+        p_rel = np.einsum("bca,bwc->bwa", Ra, p[idx] - pa[:, None])
+        Rrj = jnp.asarray(R_rel, jnp.float32)
+        prj = jnp.asarray(p_rel, jnp.float32)
+
+        dres = vcore(bb, mb, Rrj, prj)
+        info["overflow"] |= bool(jnp.any(dres.overflow))
+        t["block_assoc_s"] = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        bres = vsolve(Rrj, prj, dres.factors)
+        Rr = jnp.asarray(bres.R)
+        pr = jnp.asarray(bres.p)
+        float(bres.residual[0])          # sync
+        t["block_solve_s"] = _time.perf_counter() - t0
+        info["block_planes"] = [int(x) for x in
+                                np.asarray(dres.num_planes)[:4]]
+
+        t0 = _time.perf_counter()
+        sp, spm = super_scans(bb, mb, Rr, pr)
+        tres = tcore(sp, spm, jnp.asarray(Ra, jnp.float32),
+                     jnp.asarray(pa, jnp.float32))
+        info["overflow"] |= bool(tres.overflow)
+        info["top_planes"] = int(tres.num_planes)
+        t["top_assoc_s"] = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        topres = lm.damping_iter(
+            jnp.asarray(Ra, jnp.float32), jnp.asarray(pa, jnp.float32),
+            tres.factors, top_solver, centered=True, backend="packed")
+        Ran = np.asarray(topres.R, np.float64)
+        pan = np.asarray(topres.p, np.float64)
+        t["top_solve_s"] = _time.perf_counter() - t0
+
+        Rrn = np.asarray(Rr, np.float64)
+        prn = np.asarray(pr, np.float64)
+        for b in range(B):
+            Ab = _proj(Ran[b])
+            for j, i in enumerate(idx[b]):
+                R[i] = _proj(Ab @ Rrn[b, j])
+                p[i] = Ab @ prn[b, j] + pan[b]
+        t["cycle_s"] = sum(t.values())
+        info["timings"].append({k: round(v, 3) for k, v in t.items()})
+        if verbose:
+            print(f"cycle {cyc}: {info['timings'][-1]}", flush=True)
+
+    return R, p, info

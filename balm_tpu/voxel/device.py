@@ -7,12 +7,13 @@ recut 737-776, hash tools.hpp:29-54) becomes a fixed-capacity, static-shape
 pipeline of XLA-native primitives — no trees, no host round-trips, one
 compiled computation from raw points to padded `PlaneFactors`.
 
-v3 design (ONE per-point pass, ONE per-point sort — everything else at
-table granularity).  v2 measured 3.2 s at 16M points on the v5e with the
-cost split sort+gather 0.31 / fine pass 0.56 / cascade 0.73 / emission
-1.6 (artifacts/assoc_tpu.json): the emission's SECOND 16M-point sort plus
-second 10-channel moment pass plus 16M-row segment-bounds scatters were
-half the budget.  v3 removes all of them:
+v4 design (ONE per-point pass, ONE per-point sort, ONE per-point gather
+— everything else at table granularity).  History: v2 measured 3.2 s at
+16M points (two sorts, two per-point moment passes); v3 cut to 1.9 s by
+packing the scan id into the sort key; v4 removes the per-point anchor
+gather and the cs-table rotations by anchoring at CELL CENTERS
+(microbench basis: artifacts/microbench_pass_pieces.json — boundary
+gathers scale with table capacity, the anchor gather alone was 0.13 s):
 
   1. rigid transform of all scans — elementwise VPU math (an einsum here
      would run as ONE bf16 MXU pass and flip ~10% of borderline gates)
@@ -22,21 +23,22 @@ half the budget.  v3 removes all of them:
      bits.  Every coarser cell key AND the fine-cell key AND the
      (cell, scan) key are PREFIXES of this one sort order.
   3. ONE per-point moment pass at (fine-cell, scan) granularity, in
-     coordinates ANCHORED at each segment's first body point (bounded by
-     the cell extent after rigid transform, so the one-pass covariance
-     is cancellation-free; see PRECISION)
-  4. everything after is table-sized (#(cell,scan) rows ~ N/20):
-     classification world moments come from ROTATING the anchored body
-     moments (rigid invariance: sum (w-wa)(w-wa)^T = R sum (b-ba)(b-ba)^T
-     R^T) and shifting to cell-center-local by the parallel-axis theorem;
-     coarser layers aggregate cell tables the same way; closed-form 3x3
-     eigenvalues (ops/eigh3) gate planarity lambda0/lambda1 <
-     eigen_ratio[layer] (judge_eigen, bavoxel.hpp:654-699); decisions
-     cascade root->fine ON TABLES — a cell is a leaf iff it passes and no
-     ancestor did
-  5. emission re-sorts only the TABLE by (leaf, scan), shifts each
-     (cell, scan) row's body moments to the (leaf, scan) anchor, and
-     reduces — no second per-point pass
+     CELL-CENTER-LOCAL world coordinates (elementwise from the
+     quantization — no anchor gather; |local| <= cell*sqrt(3)/2 keeps
+     the one-pass covariance cancellation-free)
+  4. everything after is table-sized (#(cell,scan) rows ~ N/9):
+     classification needs NO transformation at all (rows of a cell share
+     its center anchor — fine-cell moments are a straight sum); coarser
+     layers aggregate cell tables by the parallel-axis theorem;
+     closed-form 3x3 eigenvalues (ops/eigh3) gate planarity
+     lambda0/lambda1 < eigen_ratio[layer] (judge_eigen,
+     bavoxel.hpp:654-699); decisions cascade root->fine ON TABLES — a
+     cell is a leaf iff it passes and no ancestor did
+  5. emission rotates each (cell, scan) row's moments to the body frame
+     (rigid invariance: P_b = R^T P_w_local R about the cell center's
+     body image), re-sorts only the TABLE by (leaf, scan), shifts by
+     exact integer-cell-coordinate deltas rotated into the body frame,
+     and reduces — no second per-point pass, no range-scale rounding
   6. admission (>= min_observers scans, bavoxel.hpp:33-37) + compaction
      puts admitted leaves first; padding rows are exactly zero (the
      tested invariant: zero planes contribute zero)
@@ -46,15 +48,18 @@ counts, leaf counts) are traced values bounded by static capacities, with
 overflow flags returned for host-side retry-with-bigger-caps.
 
 PRECISION (all-f32 regime, x64 off — the TPU production default):
-  * per-point moments are single-pass about a per-(cell, scan) ANCHOR
-    (the segment's first body point) — anchored coordinates are bounded
-    by the cell extent (rigid transforms preserve distances), so there is
-    no |position|^2 cancellation; the remaining error is
-    O(sqrt(n_cell) * eps * cell^2), small vs the lambda0 ~ noise^2
-    decision scale.
-  * all subsequent shifts move anchors by at most a cell diagonal, and
+  * per-point moments are single-pass about each point's CELL CENTER —
+    |local| is bounded by the cell extent, so there is no |position|^2
+    cancellation; the remaining error is O(sqrt(n_cell) * eps * cell^2),
+    small vs the lambda0 ~ noise^2 decision scale.
+  * all subsequent shifts move anchors by at most a leaf diagonal, with
+    deltas computed from exact integer cell-coordinate differences;
     rotations are exact-f32 elementwise products (ops/smallmat) — never
-    the MXU's bf16 path.
+    the MXU's bf16 path.  The body-frame anchor position a_b = R^T(c-p)
+    carries ~|p|*eps absolute rounding (~1e-5 m at 100 m range), which
+    only offsets the reported body centroid — a 10 um centroid shift,
+    2*sigma*delta ~ 1e-7 m^2 against lambda0 ~ 2.5e-5: negligible — and
+    never enters the aggregated covariance.
   * borderline planarity decisions can still differ from the f64 host
     backends at the 1e-4 level; under x64 (CPU tests) this path runs f64
     and matches them.  Measured on realworld-177: 5528 vs 5529 planes,
@@ -245,7 +250,6 @@ def _voxelize_core(
              + R[:, None, :, 1] * body[..., 1, None]
              + R[:, None, :, 2] * body[..., 2, None]) + p[:, None, :]
     world = world.reshape(N, 3)
-    bodyf = body.reshape(N, 3)
     valid = mask.reshape(N)
 
     # --- 2. fine quantization + the ONE global sort ---
@@ -270,17 +274,22 @@ def _voxelize_core(
     hi = jnp.where(valid, hi, _I32MAX)
     hi, lo, perm = jax.lax.sort(
         (hi, lo, jnp.arange(N, dtype=jnp.int32)), num_keys=2)
-    body_s = bodyf[perm]
     valid_s = hi < _I32MAX
     n_valid = jnp.sum(valid_s.astype(jnp.int32))
     cap_overflow = extent_overflow
-    if _stage == 1:          # sort + body gather
-        return body_s, hi, lo
+    if _stage == 1:          # sort only (the one per-point gather is the
+        return hi, lo, perm  # world reorder in stage 3)
 
     ratios = tuple(eigen_ratio) + (eigen_ratio[-1],) * max(
         0, L + 1 - len(eigen_ratio))
 
-    # --- 3. ONE anchored moment pass at (fine-cell, scan) granularity ---
+    # --- 3. ONE moment pass at (fine-cell, scan) granularity ---
+    # coordinates are CELL-CENTER-LOCAL world (elementwise from the
+    # quantization — no anchor gather): |local| <= fine*sqrt(3)/2, so the
+    # one-pass covariance is cancellation-free, and the SAME moments
+    # serve classification (plain sums share the cell's anchor) AND
+    # emission (rigid invariance: rotating by R^T gives body-frame
+    # moments about the cell center's body image; see step 5)
     newcs = _boundaries(hi, lo) & valid_s
     seg_cs = jnp.cumsum(newcs.astype(jnp.int32)) - 1
     n_cs = jnp.sum(newcs.astype(jnp.int32))
@@ -296,18 +305,21 @@ def _voxelize_core(
     have_cs = jnp.arange(cs_cap) < n_cs
     bounds_cs = (starts[:cs_cap], starts[1:], have_cs)
 
-    banchor = body_s[jnp.where(have_cs, bounds_cs[0], 0)]       # (cs, 3)
-    banchor = jnp.where(have_cs[:, None], banchor, 0.0)
-    c = (body_s - banchor[jnp.minimum(seg_cs, cs_cap - 1)]) \
-        * valid_s[:, None].astype(dtype)
+    world_s = world[perm]
+    # recompute the fine coords from the sorted positions (identical
+    # rounding to the key build); the cell center is then elementwise
+    qrel_s = jnp.clip(
+        jnp.floor(world_s / fine).astype(jnp.int32) - qbase, 0, lim - 1)
+    center_s = ((qrel_s + qbase[None, :]).astype(dtype) + 0.5) * fine
+    c = (world_s - center_s) * valid_s[:, None].astype(dtype)
     cx, cy, cz = c[:, 0], c[:, 1], c[:, 2]
     one = valid_s.astype(dtype)
     data = jnp.stack([cx * cx, cx * cy, cx * cz, cy * cy, cy * cz,
                       cz * cz, cx, cy, cz, one], axis=-1)
     M_cs = segments.sorted_segment_sum(data, seg_cs, num_segments=cs_cap,
                                        bounds=bounds_cs)        # (cs, 10)
-    if _stage == 2:          # + anchored (cell, scan) moment pass
-        return M_cs, banchor
+    if _stage == 2:          # + cell-local (cell, scan) moment pass
+        return M_cs, center_s
 
     # ======== everything below is TABLE-granularity (~N/20 rows) ========
 
@@ -333,23 +345,18 @@ def _voxelize_core(
                           (rootz << L) | sz], -1) + qbase[None, :]
     qabs_tab = jnp.where(have_cs[:, None], qabs_tab, 0)
 
-    # --- 4b. classification moments: rotate + shift to cell-local ---
-    R_tab = R[scan_tab]                          # (cs, 3, 3) — table gather
-    p_tab = p[scan_tab]
-    M_w = _rot_moments(M_cs, R_tab)              # world-frame, about wa
-    wa = smallmat.matvec(R_tab, banchor) + p_tab # world anchor (in cell)
-    center_f = (qabs_tab.astype(dtype) + 0.5) * fine
-    M_w = _paxis_shift(M_w, jnp.where(have_cs[:, None],
-                                      wa - center_f, 0.0))
-
-    # fine-cell runs within the table (scan is below the cell bits)
+    # --- 4b. classification: plain fine-cell aggregation ---
+    # every (cell, scan) row of a cell shares the SAME anchor (the cell
+    # center), so the fine-cell world moments are a straight sum — no
+    # rotation, no shift (v3 rotated body-anchored rows here; the
+    # world-local formulation moves that one rotation to emission)
     capL = int(cell_caps[L])
     newf_tab = _boundaries(hi_tab, cell_lo) & have_cs
     segf_tab = jnp.cumsum(newf_tab.astype(jnp.int32)) - 1
     n_cells_f = jnp.sum(newf_tab.astype(jnp.int32))
     cap_overflow |= n_cells_f > capL
     segf_tab = jnp.where(have_cs, jnp.minimum(segf_tab, capL - 1), capL)
-    M_f = segments.sorted_segment_sum(M_w, segf_tab, num_segments=capL)
+    M_f = segments.sorted_segment_sum(M_cs, segf_tab, num_segments=capL)
     qabs_f = segments.segment_first(qabs_tab, segf_tab, num_segments=capL)
     if _stage == 3:          # + fine-cell classification tables
         return M_f, qabs_f
@@ -465,23 +472,41 @@ def _voxelize_core(
     if _stage == 4:          # + cascade + leaf assignment
         return leaf_cs, meta_center
 
-    # --- 5. emission: shift + reduce the TABLE by (leaf, scan) ---
+    # --- 5. emission: rotate to body frame, shift, reduce by (leaf, scan) ---
+    # body moments about the cell center's body image a_b = R^T(c_w - p):
+    # rigid invariance gives P_b = R^T P_w_local R exactly.  Rows of a
+    # (leaf, scan) group share the scan (same R), and their anchor
+    # deltas in the body frame are R^T (c_w_row - c_w_target) — exact
+    # integer cell-coordinate differences scaled by the cell size, so no
+    # range-scale rounding enters the aggregated covariance.
     GW = Gcap * W
+    Rt_tab = jnp.swapaxes(R[scan_tab], -1, -2)   # (cs, 3, 3) table gather
+    Mb_tab = _rot_moments(M_cs, Rt_tab)          # body-frame, cell anchor
+    center_tab = (qabs_tab.astype(dtype) + 0.5) * fine
+
     key_e = jnp.where((leaf_cs < Gcap) & have_cs,
                       leaf_cs * W + scan_tab, GW)
     key_e, operm = jax.lax.sort(
         (key_e, jnp.arange(cs_cap, dtype=jnp.int32)), num_keys=1)
-    Mb = M_cs[operm]
-    ba = banchor[operm]
+    Mb = Mb_tab[operm]
+    cw = center_tab[operm]
+    Rt_s = Rt_tab[operm]
     bounds_e = segments.segment_bounds(key_e, GW)
     start_e, _, have_e = bounds_e
-    anchor_e = ba[jnp.where(have_e, start_e, 0)]               # (GW, 3)
-    anchor_e = jnp.where(have_e[:, None], anchor_e, 0.0)
-    d_e = jnp.where((key_e < GW)[:, None],
-                    ba - anchor_e[jnp.minimum(key_e, GW - 1)], 0.0)
-    M2 = segments.sorted_segment_sum(
-        _paxis_shift(Mb, d_e) * (key_e < GW)[:, None].astype(dtype),
+    cw_tgt = cw[jnp.where(have_e, start_e, 0)]                 # (GW, 3)
+    cw_tgt = jnp.where(have_e[:, None], cw_tgt, 0.0)
+    d_w = jnp.where((key_e < GW)[:, None],
+                    cw - cw_tgt[jnp.minimum(key_e, GW - 1)], 0.0)
+    d_b = smallmat.matvec(Rt_s, d_w)
+    M2 = sorted_seg = segments.sorted_segment_sum(
+        _paxis_shift(Mb, d_b) * (key_e < GW)[:, None].astype(dtype),
         key_e, num_segments=GW, bounds=bounds_e)               # (GW, 10)
+
+    # target anchors in the body frame: a_b = R^T (c_w_target - p)
+    scan_e = jnp.where(have_e, jnp.arange(GW, dtype=jnp.int32) % W, 0)
+    Rt_e = jnp.swapaxes(R[scan_e], -1, -2)                     # (GW, 3, 3)
+    a_b = smallmat.matvec(Rt_e, cw_tgt - p[scan_e])
+    a_b = jnp.where(have_e[:, None], a_b, 0.0)
 
     cnt_flat = M2[:, 9]
     cnt_ls = cnt_flat.reshape(Gcap, W)
@@ -494,7 +519,7 @@ def _voxelize_core(
         M2[:, 4] - cnt_flat * m[:, 1] * m[:, 2],
         M2[:, 5] - cnt_flat * m[:, 2] * m[:, 2],
     ], axis=-1).reshape(Gcap, W, 6)
-    bmean = jnp.where(cnt_flat[:, None] > 0, anchor_e + m, 0.0)
+    bmean = jnp.where(cnt_flat[:, None] > 0, a_b + m, 0.0)
 
     # --- 6. admission + compaction ---
     observers = jnp.sum(cnt_ls > 0, axis=1)

@@ -1,0 +1,158 @@
+"""Bytes-touched vs achieved-bandwidth model for the packed evaluate
+(round-4 verdict item 2: prove or refute 'the rows assembly is at its
+memory speed-of-light').
+
+For each phase (csum, aux, rows+matmul, full evaluate) at W=512/1024:
+  * compile the jitted phase and read XLA's memory_analysis (argument /
+    output / temp buffer bytes) — temp bytes are the materialized
+    intermediates between fusions, each written once and read once
+  * model HBM traffic ~= args + outputs + 2 * temps
+  * slope-time the phase (utils/sync.py) and report achieved GB/s vs the
+    v5e HBM roof (819 GB/s) and achieved FLOP/s vs the MXU ceilings
+
+Run: python scripts/roofline_bytes.py
+"""
+
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+
+_CACHE = str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+from balm_tpu.ops import factors as Fmod  # noqa: E402
+from balm_tpu.ops import packed as pkmod  # noqa: E402
+from balm_tpu.ops import pallas_evaluate as pe  # noqa: E402
+from balm_tpu.utils import sync  # noqa: E402
+
+HBM_GBPS = 819.0          # v5e
+PEAK_BF16 = 197.0e12
+PEAK_F32_3PASS = PEAK_BF16 / 3.0
+
+
+def synth(W, G, seed=0):
+    rng = np.random.default_rng(seed)
+    C = np.zeros((G, W, 4, 4), np.float64)
+    n = rng.integers(20, 200, size=(G, W)).astype(np.float64)
+    A = rng.normal(size=(G, W, 3, 3)) * 0.05
+    P = np.einsum("gwab,gwcb->gwac", A, A) * n[..., None, None]
+    C[..., :3, :3] = P
+    C[..., 3, 3] = n
+    f = Fmod.PlaneFactors.create(jnp.asarray(C, jnp.float32))
+    f = f._replace(centers=jnp.asarray(rng.normal(size=(G, 3)) * 30,
+                                       jnp.float32))
+    R = jnp.asarray(np.stack([np.eye(3)] * W), jnp.float32)
+    p = jnp.asarray(rng.normal(size=(W, 3)), jnp.float32)
+    return R, p, f
+
+
+def mem_model(compiled):
+    ma = compiled.memory_analysis()
+    args = getattr(ma, "argument_size_in_bytes", 0)
+    out = getattr(ma, "output_size_in_bytes", 0)
+    temp = getattr(ma, "temp_size_in_bytes", 0)
+    return {
+        "arg_bytes": int(args),
+        "out_bytes": int(out),
+        "temp_bytes": int(temp),
+        "model_traffic_bytes": int(args + out + 2 * temp),
+    }
+
+
+def main():
+    out = {"device": str(jax.devices()[0]), "hbm_gbps_roof": HBM_GBPS,
+           "protocol": "traffic ~= args + out + 2*temps "
+                       "(memory_analysis); slope-timed", "configs": []}
+    for W, G in ((512, 8192), (1024, 16384)):
+        R, p, f = synth(W, G)
+        pk = pkmod.pack_factors(f)
+        pk = jax.device_put(pk)
+        pose = pe.pad_poses(R, p, pk.wp).astype(jnp.float32)
+        cfg = {"W": W, "G": G}
+
+        with jax.default_matmul_precision("float32"):
+            # phase 1: moment accumulation
+            csum_f = jax.jit(lambda pose: pe.csum_packed_xla(
+                pose, pk.mom, pk.cen, pk.cfix))
+            lowered = csum_f.lower(pose)
+            comp = lowered.compile()
+            csum = csum_f(pose)
+            cfg["csum"] = mem_model(comp)
+            cfg["csum"]["time_s"] = sync.time_per_run(
+                csum_f, pose, k=8, reps=2)["per_run_s"]
+
+            # phase 2: aux (eigh + weights)
+            aux_f = jax.jit(
+                lambda csum: pe._aux_from_csum(csum, pk, 1e-9)[1])
+            comp = aux_f.lower(csum).compile()
+            aux = aux_f(csum)
+            cfg["aux"] = mem_model(comp)
+            cfg["aux"]["time_s"] = sync.time_per_run(
+                aux_f, csum, k=8, reps=2)["per_run_s"]
+
+            # phase 3a: rows channels ONLY (materialized as one array)
+            def rows_only(pose):
+                rows, jv, D = pe._rows_channels_xla(
+                    pose, pk.mom, pk.cen, aux)
+                return [jnp.stack([rows[j][k] for j in range(6)], axis=1)
+                        for k in range(3)]
+
+            rows_f = jax.jit(rows_only)
+            comp = rows_f.lower(pose).compile()
+            cfg["rows_only"] = mem_model(comp)
+            cfg["rows_only"]["time_s"] = sync.time_per_run(
+                rows_f, pose, k=6, reps=2)["per_run_s"]
+
+            # phase 3b: full rows + matmul (hess HIGH)
+            hess_f = jax.jit(lambda pose: pe.hess_packed_xla(
+                pose, pk.mom, pk.cen, aux,
+                hess_precision=lax.Precision.HIGH))
+            comp = hess_f.lower(pose).compile()
+            cfg["hess"] = mem_model(comp)
+            cfg["hess"]["time_s"] = sync.time_per_run(
+                hess_f, pose, k=4, reps=2)["per_run_s"]
+
+            # full evaluate
+            ev_f = jax.jit(lambda R, p: pe.evaluate_packed(
+                R, p, pk, hess_precision=lax.Precision.HIGH))
+            comp = ev_f.lower(R, p).compile()
+            cfg["evaluate"] = mem_model(comp)
+
+            def run_ev(R):
+                return ev_f(R, p)
+
+            cfg["evaluate"]["time_s"] = sync.time_per_run(
+                run_ev, R, k=4, reps=2)["per_run_s"]
+
+        Wp, Gp = pk.wp, pk.gp
+        flops_mm = 2.0 * (6 * Wp) ** 2 * (3 * Gp)
+        for ph in ("csum", "aux", "rows_only", "hess", "evaluate"):
+            d = cfg[ph]
+            d["achieved_gbps"] = round(
+                d["model_traffic_bytes"] / d["time_s"] / 1e9, 1)
+            d["frac_hbm_roof"] = round(
+                d["achieved_gbps"] / HBM_GBPS, 3)
+        cfg["hess"]["matmul_flops"] = flops_mm
+        cfg["hess"]["rows_s_est"] = round(
+            cfg["hess"]["time_s"]
+            - flops_mm / PEAK_F32_3PASS, 5)
+        out["configs"].append(cfg)
+        print(json.dumps(cfg, indent=1), flush=True)
+
+    with open("artifacts/roofline_bytes.json", "w") as fh:
+        json.dump(out, fh, indent=2)
+    print("wrote artifacts/roofline_bytes.json")
+
+
+if __name__ == "__main__":
+    main()

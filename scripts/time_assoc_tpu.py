@@ -80,13 +80,13 @@ def main(max_scans=None):
     # realworld-tuned capacities (actual: 5836/24.7k/99.5k cells, 1.85M
     # (cell,scan) pairs) with >= 1.3x headroom; the voxelize_device
     # wrapper would discover these via retry-on-overflow
-    cell_caps = (1 << 14, 1 << 16, 1 << 18)
+    cell_caps = (1 << 14, 1 << 16, 1 << 17)
     Gcap = 1 << 13
 
     def run(b):
         return vdev._voxelize_core(
             b, md, Rd, pd, cell_caps=cell_caps, Gcap=Gcap,
-            cs_cap=1 << 22, want_point_leaf=False, **kw)
+            cs_cap=2_200_000, want_point_leaf=False, **kw)
 
     t0 = time.perf_counter()
     out = run(bd)

@@ -243,3 +243,29 @@ def test_global_sweep_large_solver_path():
         *lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt)))
     assert float(tra1) < 0.5 * float(tra0)
     assert float(rot1) < 0.5 * float(rot0)
+
+
+def test_run_device_batched_refines():
+    """The TPU-native batched hierarchy (vmapped on-device association +
+    vmapped packed block solves + packed anchor solve) must recover a
+    drift-perturbed trajectory."""
+    from balm_tpu.ops import lie as _lie
+    from balm_tpu.utils import metrics as _metrics
+
+    R_gt, p_gt, scans = make_long_scene(W=24, n_planes=30, pts_per=100,
+                                        seed=6)
+    R0, p0 = perturb_drift(R_gt, p_gt, seed=7)
+    R1, p1, info = hierarchical.run_device_batched(
+        scans, R0, p0, block=8, cycles=2,
+        block_caps=(1 << 8, 1 << 10, 1 << 12), Gcap_block=512,
+        cs_cap_block=1 << 13,
+        top_caps=(1 << 8, 1 << 10, 1 << 12), Gcap_top=512,
+        cs_cap_top=1 << 14)
+    assert not info["overflow"]
+    Rg, pg = _lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
+    r0, t0 = _metrics.pose_rsme(
+        *_lie.gauge_fix(jnp.asarray(R0), jnp.asarray(p0)), Rg, pg)
+    r1, t1 = _metrics.pose_rsme(
+        *_lie.gauge_fix(jnp.asarray(R1), jnp.asarray(p1)), Rg, pg)
+    assert float(r1) < 0.2 * float(r0), (float(r1), float(r0))
+    assert float(t1) < 0.2 * float(t0), (float(t1), float(t0))
