@@ -192,7 +192,7 @@ def _rot_moments(M, R):
     static_argnames=(
         "voxel_size", "layer_limit", "eigen_ratio", "min_points",
         "min_observers", "unit_coe", "cell_caps", "Gcap", "cs_cap",
-        "want_point_leaf", "_stage",
+        "pair_cap", "want_point_leaf", "_stage",
     ),
 )
 def _voxelize_core(
@@ -210,6 +210,7 @@ def _voxelize_core(
     cell_caps: tuple,    # static per-layer cell-count capacities
     Gcap: int,           # static leaf capacity (padded factor rows)
     cs_cap: int | None = None,   # static (fine-cell, scan) pair capacity
+    pair_cap: int | None = None,  # static (leaf, scan) pair capacity
     want_point_leaf: bool = True,
     _stage: int = 99,    # profiling: early-return after stage k (see
                          # scripts/profile_assoc_stages.py)
@@ -232,6 +233,8 @@ def _voxelize_core(
     L = layer_limit
     if cs_cap is None:
         cs_cap = int(min(max(4 * int(cell_caps[L]), 1 << 16), max(N, 1 << 16)))
+    if pair_cap is None:
+        pair_cap = int(min(Gcap * W, max(32 * Gcap, 1 << 16)))
     S = max((W - 1).bit_length(), 1)             # scan bits in the key
     if 15 + 3 * L + S > 31:
         raise ValueError(
@@ -472,54 +475,78 @@ def _voxelize_core(
     if _stage == 4:          # + cascade + leaf assignment
         return leaf_cs, meta_center
 
-    # --- 5. emission: rotate to body frame, shift, reduce by (leaf, scan) ---
-    # body moments about the cell center's body image a_b = R^T(c_w - p):
-    # rigid invariance gives P_b = R^T P_w_local R exactly.  Rows of a
-    # (leaf, scan) group share the scan (same R), and their anchor
-    # deltas in the body frame are R^T (c_w_row - c_w_target) — exact
-    # integer cell-coordinate differences scaled by the cell size, so no
-    # range-scale rounding enters the aggregated covariance.
+    # --- 5. emission: shift in WORLD frame, reduce to a COMPACT pair
+    # table, rotate once per pair ---
+    # Rotation commutes with the within-group aggregation (all rows of a
+    # (leaf, scan) pair share the scan's R), so the world-local moments
+    # are shifted by exact integer-cell-coordinate deltas, reduced to the
+    # ~N/70 observed (leaf, scan) PAIRS (contiguous cumsum ids -> cheap
+    # bounds; boundary-gather cost scales with table size, so compact
+    # beats the dense Gcap*W layout ~6x), and only then rotated to the
+    # body frame about the target cell center's body image
+    # a_b = R^T(c_w - p).
     GW = Gcap * W
-    Rt_tab = jnp.swapaxes(R[scan_tab], -1, -2)   # (cs, 3, 3) table gather
-    Mb_tab = _rot_moments(M_cs, Rt_tab)          # body-frame, cell anchor
     center_tab = (qabs_tab.astype(dtype) + 0.5) * fine
 
     key_e = jnp.where((leaf_cs < Gcap) & have_cs,
                       leaf_cs * W + scan_tab, GW)
     key_e, operm = jax.lax.sort(
         (key_e, jnp.arange(cs_cap, dtype=jnp.int32)), num_keys=1)
-    Mb = Mb_tab[operm]
+    Mw = M_cs[operm]
     cw = center_tab[operm]
-    Rt_s = Rt_tab[operm]
-    bounds_e = segments.segment_bounds(key_e, GW)
-    start_e, _, have_e = bounds_e
-    cw_tgt = cw[jnp.where(have_e, start_e, 0)]                 # (GW, 3)
-    cw_tgt = jnp.where(have_e[:, None], cw_tgt, 0.0)
-    d_w = jnp.where((key_e < GW)[:, None],
-                    cw - cw_tgt[jnp.minimum(key_e, GW - 1)], 0.0)
-    d_b = smallmat.matvec(Rt_s, d_w)
-    M2 = sorted_seg = segments.sorted_segment_sum(
-        _paxis_shift(Mb, d_b) * (key_e < GW)[:, None].astype(dtype),
-        key_e, num_segments=GW, bounds=bounds_e)               # (GW, 10)
+    live_e = key_e < GW
+    new_e = jnp.ones(cs_cap, bool).at[1:].set(
+        key_e[1:] != key_e[:-1]) & live_e
+    seg_e = jnp.cumsum(new_e.astype(jnp.int32)) - 1
+    n_pairs = jnp.sum(new_e.astype(jnp.int32))
+    cap_overflow |= n_pairs > pair_cap
+    seg_e = jnp.where(live_e, jnp.minimum(seg_e, pair_cap - 1), pair_cap)
+    n_live = jnp.sum(live_e.astype(jnp.int32))
+    pos_e = jnp.arange(cs_cap, dtype=jnp.int32)
+    starts_e = jnp.zeros(pair_cap + 1, jnp.int32).at[
+        jnp.where(new_e, jnp.minimum(seg_e, pair_cap), pair_cap)
+    ].set(pos_e, mode="drop")
+    starts_e = jnp.where(jnp.arange(pair_cap + 1) >= n_pairs,
+                         n_live, starts_e)
+    have_p = jnp.arange(pair_cap) < n_pairs
+    bounds_e = (starts_e[:pair_cap], starts_e[1:], have_p)
 
-    # target anchors in the body frame: a_b = R^T (c_w_target - p)
-    scan_e = jnp.where(have_e, jnp.arange(GW, dtype=jnp.int32) % W, 0)
-    Rt_e = jnp.swapaxes(R[scan_e], -1, -2)                     # (GW, 3, 3)
-    a_b = smallmat.matvec(Rt_e, cw_tgt - p[scan_e])
-    a_b = jnp.where(have_e[:, None], a_b, 0.0)
+    first_p = jnp.where(have_p, bounds_e[0], 0)
+    cw_tgt = jnp.where(have_p[:, None], cw[first_p], 0.0)   # (pairs, 3)
+    pairkey = jnp.where(have_p, key_e[first_p], GW)
+    d_w = jnp.where(live_e[:, None],
+                    cw - cw_tgt[jnp.minimum(seg_e, pair_cap - 1)], 0.0)
+    Mp = segments.sorted_segment_sum(
+        _paxis_shift(Mw, d_w) * live_e[:, None].astype(dtype),
+        seg_e, num_segments=pair_cap, bounds=bounds_e)      # (pairs, 10)
 
-    cnt_flat = M2[:, 9]
+    scan_p = jnp.where(have_p, pairkey % W, 0)
+    Rt_p = jnp.swapaxes(R[scan_p], -1, -2)                  # (pairs, 3, 3)
+    Mp_b = _rot_moments(Mp, Rt_p)                           # body frame
+    a_b = smallmat.matvec(Rt_p, cw_tgt - p[scan_p])
+    a_b = jnp.where(have_p[:, None], a_b, 0.0)
+
+    cnt_p = Mp_b[:, 9]
+    m_p = Mp_b[:, 6:9] / jnp.maximum(cnt_p[:, None], 1.0)   # local mean
+    P_p = jnp.stack([
+        Mp_b[:, 0] - cnt_p * m_p[:, 0] * m_p[:, 0],
+        Mp_b[:, 1] - cnt_p * m_p[:, 0] * m_p[:, 1],
+        Mp_b[:, 2] - cnt_p * m_p[:, 0] * m_p[:, 2],
+        Mp_b[:, 3] - cnt_p * m_p[:, 1] * m_p[:, 1],
+        Mp_b[:, 4] - cnt_p * m_p[:, 1] * m_p[:, 2],
+        Mp_b[:, 5] - cnt_p * m_p[:, 2] * m_p[:, 2],
+    ], axis=-1)                                             # (pairs, 6)
+    bmean_p = jnp.where(cnt_p[:, None] > 0, a_b + m_p, 0.0)
+
+    # scatter the compact pairs into the dense (Gcap, W) factor layout
+    tgt = jnp.where(have_p, pairkey, GW)
+    cnt_flat = jnp.zeros(GW + 1, dtype).at[tgt].set(
+        cnt_p, mode="drop")[:GW]
+    P = jnp.zeros((GW + 1, 6), dtype).at[tgt].set(
+        P_p, mode="drop")[:GW].reshape(Gcap, W, 6)
+    bmean = jnp.zeros((GW + 1, 3), dtype).at[tgt].set(
+        bmean_p, mode="drop")[:GW]
     cnt_ls = cnt_flat.reshape(Gcap, W)
-    m = M2[:, 6:9] / jnp.maximum(cnt_flat[:, None], 1.0)       # local mean
-    P = jnp.stack([
-        M2[:, 0] - cnt_flat * m[:, 0] * m[:, 0],
-        M2[:, 1] - cnt_flat * m[:, 0] * m[:, 1],
-        M2[:, 2] - cnt_flat * m[:, 0] * m[:, 2],
-        M2[:, 3] - cnt_flat * m[:, 1] * m[:, 1],
-        M2[:, 4] - cnt_flat * m[:, 1] * m[:, 2],
-        M2[:, 5] - cnt_flat * m[:, 2] * m[:, 2],
-    ], axis=-1).reshape(Gcap, W, 6)
-    bmean = jnp.where(cnt_flat[:, None] > 0, a_b + m, 0.0)
 
     # --- 6. admission + compaction ---
     observers = jnp.sum(cnt_ls > 0, axis=1)
@@ -616,6 +643,7 @@ def voxelize_device(
     cell_caps: tuple | None = None,
     Gcap: int = 1 << 13,
     cs_cap: int | None = None,
+    pair_cap: int | None = None,
     want_point_leaf: bool = True,
     max_retries: int = 2,
 ) -> DeviceVoxelizeResult:
@@ -671,11 +699,14 @@ def voxelize_device(
             cell_caps=tuple(int(c) for c in cell_caps),
             Gcap=int(Gcap),
             cs_cap=int(cs_cap),
+            pair_cap=None if pair_cap is None else int(pair_cap),
             want_point_leaf=want_point_leaf,
         )
         if attempt == max_retries or not bool(out.overflow):
             return out
         cell_caps = tuple(min(c * 4, 1 << 22) for c in cell_caps)
         cs_cap = int(min(cs_cap * 4, max(N, 1 << 16)))
+        if pair_cap is not None:
+            pair_cap = int(pair_cap * 4)
         Gcap *= 4
     return out

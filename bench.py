@@ -143,8 +143,9 @@ def main():
             min_points=int(cfg.voxel.min_points),
             min_observers=int(cfg.voxel.min_observers),
             unit_coe=False,
-            cell_caps=(1 << 14, 1 << 16, 1 << 18),
-            Gcap=1 << 13, cs_cap=1 << 22, want_point_leaf=False)
+            cell_caps=(1 << 14, 1 << 16, 1 << 17),
+            Gcap=1 << 13, cs_cap=2_200_000, pair_cap=1 << 18,
+            want_point_leaf=False)
 
         def assoc(b):
             return vdev._voxelize_core(b, md, R32, p32, **kw)

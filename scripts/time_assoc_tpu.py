@@ -86,7 +86,8 @@ def main(max_scans=None):
     def run(b):
         return vdev._voxelize_core(
             b, md, Rd, pd, cell_caps=cell_caps, Gcap=Gcap,
-            cs_cap=2_200_000, want_point_leaf=False, **kw)
+            cs_cap=2_200_000, pair_cap=1 << 18,
+            want_point_leaf=False, **kw)
 
     t0 = time.perf_counter()
     out = run(bd)
