@@ -737,8 +737,18 @@ def run_device_batched(
 
         t0 = _time.perf_counter()
         bres = vsolve(Rrj, prj, dres.factors)
-        Rr = jnp.asarray(bres.R)
-        pr = jnp.asarray(bres.p)
+        # re-anchor every block to its FIRST pose: the block BA has free
+        # gauge (gauge_fix=False), and an un-pinned block tilts its whole
+        # frame by an arbitrary rotation — the super-scans then land in
+        # tilted frames and POISON the anchor association (measured: a
+        # ~4 deg block tilt at 8 m levers breaks voxel association and
+        # the top solve drives the composed trajectory to ~160 deg).
+        # Same move as the host hierarchy / window-BA re-anchoring.
+        R0b = jnp.swapaxes(bres.R[:, 0:1], -1, -2)       # (B, 1, 3, 3)
+        from ..ops import smallmat as _sm
+
+        Rr = _sm.matmul(R0b, bres.R)
+        pr = _sm.matvec(R0b, bres.p - bres.p[:, 0:1])
         float(bres.residual[0])          # sync
         t["block_solve_s"] = _time.perf_counter() - t0
         info["block_planes"] = [int(x) for x in

@@ -1,0 +1,103 @@
+"""Rescue-ladder robustness sweep (round-4 verdict item 8).
+
+The front-end's rescue thresholds (yaw_rescue_disagree,
+yaw_rescue_max_dist, sc_sectors) were tuned on the one real dataset.
+This sweeps each +-50% (one-at-a-time around the defaults) on TWO
+scenes:
+
+  * the realworld 177-keyframe stream (the hard case: median 7.6 deg
+    inter-scan rotation, the ladder fires constantly)
+  * the consistency simulator's 101-scan stream (a second, independent
+    scene: smooth motion, the ladder should stay quiet and harmless)
+
+Pass criterion (the verdict's): drift stays < 2 deg / 0.2 m everywhere.
+
+Run: python scripts/rescue_sweep.py
+"""
+
+import dataclasses
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from balm_tpu.ops import lie  # noqa: E402
+from balm_tpu.pipelines import consistency, odometry, realworld  # noqa: E402
+from balm_tpu.utils import metrics  # noqa: E402
+from balm_tpu.voxel import grid  # noqa: E402
+
+
+def drift(R, p, R_ref, p_ref):
+    rot, tra = metrics.pose_rsme(
+        *lie.gauge_fix(jnp.asarray(R), jnp.asarray(p)),
+        *lie.gauge_fix(jnp.asarray(R_ref), jnp.asarray(p_ref)))
+    return [float(rot) * 57.2958, float(tra)]
+
+
+def main():
+    # scene A: realworld keyframes
+    cfgA = realworld.RealworldConfig()
+    RrA, prA, scansA = realworld.load(cfgA)
+    scansA = [grid.down_sample_voxel(s, 0.4) for s in scansA]
+    # scene B: consistency simulator stream
+    cfgB = consistency.ConsistencyConfig()
+    RrB, prB, scansB = consistency.load(cfgB)
+    scansB = [grid.down_sample_voxel(s, 0.3) for s in scansB]
+
+    base = odometry.OdometryConfig()
+    variants = [("default", {})]
+    for v in (0.07, 0.21):
+        variants.append((f"disagree={v}", {"yaw_rescue_disagree": v}))
+    for v in (0.3, 0.9):
+        variants.append((f"max_dist={v}", {"yaw_rescue_max_dist": v}))
+    for v in (60, 180):
+        variants.append((f"sectors={v}", {"sc_sectors": v}))
+
+    out = {"criterion": "drift < 2 deg / 0.2 m on both scenes",
+           "runs": []}
+    all_ok = True
+    for name, kw in variants:
+        cfg = dataclasses.replace(base, **kw)
+        rec = {"variant": name}
+        for scene, (Rr, pr, scans) in (
+                ("realworld177", (RrA, prA, scansA)),
+                ("consistency101", (RrB, prB, scansB))):
+            t0 = time.perf_counter()
+            R, p, info = odometry.run(scans, cfg)
+            d = drift(R, p, Rr, pr)
+            ok = d[0] < 2.0 and d[1] < 0.2
+            all_ok &= ok
+            rec[scene] = {
+                "drift_deg_m": [round(d[0], 3), round(d[1], 4)],
+                "ok": ok,
+                "yaw_rescues": info.get("yaw_rescues", 0),
+                "rot_searches": info.get("rot_searches", 0),
+                "skipped_inserts": info.get("skipped_inserts", 0),
+                "wall_s": round(time.perf_counter() - t0, 1),
+            }
+        out["runs"].append(rec)
+        print(json.dumps(rec), flush=True)
+
+    out["all_within_criterion"] = all_ok
+    with open("artifacts/rescue_sweep.json", "w") as fh:
+        json.dump(out, fh, indent=2)
+    print("all ok:", all_ok)
+
+
+if __name__ == "__main__":
+    main()
