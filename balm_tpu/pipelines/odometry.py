@@ -72,7 +72,14 @@ class OdometryConfig:
     # descriptor match is confident — association to a poisoned map can
     # stay plentiful (never "collapses") while being entirely wrong, so
     # the measurement-vs-prediction disagreement is the robust trigger
-    yaw_rescue_disagree: float = 0.14  # ~8 deg
+    # None = ADAPTIVE: 2.75 sector widths of the scan-context descriptor
+    # (2.75 * 2pi / sc_sectors = 0.144 rad at the default 120 sectors,
+    # the value the realworld study tuned by hand).  The gate must track
+    # the yaw measurement's own resolution: the round-4 sensitivity sweep
+    # showed a fixed gate at +50% (0.21) misses rescues on the keyframe
+    # set (drift 82 deg) while the sector-derived gate survives every
+    # sc_sectors variation (artifacts/rescue_sweep.json).
+    yaw_rescue_disagree: float | None = None
     yaw_rescue_max_dist: float = 0.6   # sc confidence gate
     sc_rings: int = 12
     sc_sectors: int = 120              # 3 deg yaw resolution
@@ -631,6 +638,12 @@ def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
         # could fire a spurious rescue on the first resumed scan)
         sc_state["prev"] = _desc(scans[max(i_start - 1, 0)])
 
+    # adaptive yaw-disagreement gate: 2.75 scan-context sector widths
+    # (see OdometryConfig.yaw_rescue_disagree)
+    disagree_gate = (cfg.yaw_rescue_disagree
+                     if cfg.yaw_rescue_disagree is not None
+                     else 2.75 * 2.0 * np.pi / cfg.sc_sectors)
+
     # ---- window BA machinery (sync inline, or one detached worker) ----
     ba_pending = None          # {"thread", "out", "idx"} when in flight
 
@@ -730,9 +743,9 @@ def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
             recent = info["reg_points"][-5:]
             healthy = float(np.median(recent)) if recent else float(used)
             starved = used < max(cfg.yaw_rescue_frac * healthy, 50.0)
-            contradicted = (dis > cfg.yaw_rescue_disagree
+            contradicted = (dis > disagree_gate
                             and sc_dist < cfg.yaw_rescue_max_dist)
-            fast = (abs(psi) > cfg.yaw_rescue_disagree
+            fast = (abs(psi) > disagree_gate
                     and sc_dist < cfg.yaw_rescue_max_dist)
             if starved or contradicted or fast:
                 pts_ds = (scans[i] if cfg.downsample <= 0 else

@@ -243,10 +243,9 @@ def run_balm1_subset():
     balm1_mod.damping_iter(jnp.asarray(R0), jnp.asarray(p0), pf,
                            max_iters=60, trace=tr)
     pts = [(0.0, c_init)]
-    for e in tr:
-        Rr = lie.so3_exp(jnp.asarray(e[1][:3 * W].reshape(W, 3)))
-        pr = jnp.asarray(e[1][3 * W:6 * W].reshape(W, 3))
-        pts.append((e[0] - t0, float(score(Rr, pr))))
+    for e in tr:     # balm1 traces (t, R, p)
+        pts.append((e[0] - t0,
+                    float(score(jnp.asarray(e[1]), jnp.asarray(e[2])))))
     with open(outdir / "1.txt", "w") as fh:
         for t, c in pts:
             fh.write(f"{t:.4f} {c:.6f}\n")

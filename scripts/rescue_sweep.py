@@ -7,8 +7,15 @@ scenes:
 
   * the realworld 177-keyframe stream (the hard case: median 7.6 deg
     inter-scan rotation, the ladder fires constantly)
-  * the consistency simulator's 101-scan stream (a second, independent
-    scene: smooth motion, the ladder should stay quiet and harmless)
+  * a second, independent synthetic scene (tests' make_long_scene,
+    60-scan stream through a 3-D plane field: smooth motion, the ladder
+    should stay quiet and harmless).  NOTE: the consistency simulator's
+    dataset was tried as scene B and is fundamentally unusable for
+    scan-to-map odometry — the simulated scene is planar (z extent 0)
+    with parallel-plane visibility, so registration has a translation
+    null space and drifts ~20 m REGARDLESS of the rescue thresholds
+    (measured across all variants); that is scene degeneracy, not
+    threshold sensitivity.
 
 Pass criterion (the verdict's): drift stays < 2 deg / 0.2 m everywhere.
 
@@ -37,7 +44,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 
 from balm_tpu.ops import lie  # noqa: E402
-from balm_tpu.pipelines import consistency, odometry, realworld  # noqa: E402
+from balm_tpu.pipelines import odometry, realworld  # noqa: E402
 from balm_tpu.utils import metrics  # noqa: E402
 from balm_tpu.voxel import grid  # noqa: E402
 
@@ -54,14 +61,15 @@ def main():
     cfgA = realworld.RealworldConfig()
     RrA, prA, scansA = realworld.load(cfgA)
     scansA = [grid.down_sample_voxel(s, 0.4) for s in scansA]
-    # scene B: consistency simulator stream
-    cfgB = consistency.ConsistencyConfig()
-    RrB, prB, scansB = consistency.load(cfgB)
-    scansB = [grid.down_sample_voxel(s, 0.3) for s in scansB]
+    # scene B: independent synthetic 3-D stream
+    from tests.test_hierarchical import make_long_scene
+
+    RrB, prB, scansB = make_long_scene(W=60, n_planes=60, pts_per=150,
+                                       seed=12)
 
     base = odometry.OdometryConfig()
-    variants = [("default", {})]
-    for v in (0.07, 0.21):
+    variants = [("default(adaptive_gate)", {})]
+    for v in (0.07, 0.14, 0.21):
         variants.append((f"disagree={v}", {"yaw_rescue_disagree": v}))
     for v in (0.3, 0.9):
         variants.append((f"max_dist={v}", {"yaw_rescue_max_dist": v}))
@@ -76,7 +84,7 @@ def main():
         rec = {"variant": name}
         for scene, (Rr, pr, scans) in (
                 ("realworld177", (RrA, prA, scansA)),
-                ("consistency101", (RrB, prB, scansB))):
+                ("synthetic60", (RrB, prB, scansB))):
             t0 = time.perf_counter()
             R, p, info = odometry.run(scans, cfg)
             d = drift(R, p, Rr, pr)
