@@ -635,8 +635,6 @@ def run_device_batched(
     top_caps=(1 << 14, 1 << 16, 1 << 18),
     Gcap_top: int = 1 << 13,
     cs_cap_top: int = 1 << 21,
-    chain_sigma_rot: float = 0.002,    # [rad/scan] anchor-chain prior
-    chain_sigma_trans: float = 0.01,   # [m/scan]
     verbose: bool = False,
 ):
     """Hierarchical BA where EVERY level is a single batched device
@@ -765,36 +763,17 @@ def run_device_batched(
         t["top_assoc_s"] = _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
-        # anchor-chain prior edges: the plane-only anchor problem is
-        # multi-modal on weakly-coupled scenes (measured on the W=1024
-        # corridor: two equal-residual top optima 0.6 and 2.7 deg from
-        # truth — which one LM lands in flips with f32 rounding).  A
-        # soft odometry-chain prior (the incoming relative anchor poses,
-        # sigma growing with the block span) pins the basin — the
-        # batched analogue of HierarchicalConfig.use_overlap_edges.
-        from ..ops import pose_graph as PG
-
-        sigma2_pt = float(np.median(
-            np.asarray(bres.residual, np.float64)
-            / np.maximum(np.asarray(
-                jnp.sum(dres.factors.coe, axis=1), np.float64), 1.0)))
-        s_rot = chain_sigma_rot * block
-        s_tr = chain_sigma_trans * block
-        Zr = np.einsum("bca,bcd->bad", Ra[:-1], Ra[1:])
-        Zp = np.einsum("bca,bc->ba", Ra[:-1], pa[1:] - pa[:-1])
-        # weights in the plane cost's units (sum coe*lambda0 ~ points *
-        # m^2): multiply the 1/sigma^2 information by sigma_pt^2
-        edges = PG.RelPoseEdges(
-            i=jnp.arange(B - 1, dtype=jnp.int32),
-            j=jnp.arange(1, B, dtype=jnp.int32),
-            Zr=jnp.asarray(Zr, jnp.float32),
-            Zp=jnp.asarray(Zp, jnp.float32),
-            w_rot=jnp.full(B - 1, sigma2_pt / (s_rot ** 2), jnp.float32),
-            w_tr=jnp.full(B - 1, sigma2_pt / (s_tr ** 2), jnp.float32))
+        # TOP solve on the XLA evaluator: the anchor problem is small
+        # (W = B poses) and MULTI-MODAL on weakly-coupled scenes — on the
+        # W=1024 corridor two near-equal-residual optima sit 0.6 and 2.7
+        # deg from truth, and the packed path's f32 LM trajectory lands
+        # in the wrong one while the XLA evaluator's lands in the right
+        # one (same initial res/J/H to 1e-6; the damping paths bifurcate).
+        # At B <= a few hundred anchors the XLA evaluator costs the same
+        # few ms, so the robust path wins.
         topres = lm.damping_iter(
             jnp.asarray(Ra, jnp.float32), jnp.asarray(pa, jnp.float32),
-            tres.factors, top_solver, centered=True, backend="packed",
-            edges=edges)
+            tres.factors, top_solver, centered=True, backend="xla")
         Ran = np.asarray(topres.R, np.float64)
         pan = np.asarray(topres.p, np.float64)
         t["top_solve_s"] = _time.perf_counter() - t0
