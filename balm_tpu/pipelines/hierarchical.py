@@ -621,6 +621,7 @@ def run_device_batched(
     p0: np.ndarray,
     *,
     block: int = 16,
+    stride: int | None = None,
     cycles: int = 2,
     voxel: VoxelConfig = VoxelConfig(min_observers=2),
     top_voxel: VoxelConfig | None = None,
@@ -635,6 +636,7 @@ def run_device_batched(
     top_caps=(1 << 14, 1 << 16, 1 << 18),
     Gcap_top: int = 1 << 13,
     cs_cap_top: int = 1 << 21,
+    top: bool = True,
     verbose: bool = False,
 ):
     """Hierarchical BA where EVERY level is a single batched device
@@ -666,11 +668,19 @@ def run_device_batched(
     from ..voxel import device as vdev
 
     W = len(scans)
-    if W % block != 0:
-        raise ValueError(f"W={W} must be a multiple of block={block}")
-    B = W // block
+    stride = stride or block
+    if not (0 < stride <= block):
+        raise ValueError("need 0 < stride <= block")
+    # overlapping blocks (stride < block): adjacent super-scans SHARE
+    # scans, which couples the anchor problem strongly enough to kill
+    # its spurious optima (the host hierarchy's design; without overlap
+    # the W=1024 corridor's top solve basin-hops across cycles)
+    starts = list(range(0, max(W - block, 0) + 1, stride))
+    if starts[-1] != W - block:
+        starts.append(W - block)
+    B = len(starts)
     top_voxel = top_voxel or voxel
-    idx = np.arange(W).reshape(B, block)
+    idx = np.stack([np.arange(s, s + block) for s in starts])
 
     body_h, mask_h = vdev.pad_scans(
         [s.astype(np.float32) for s in scans], np.float32)
@@ -753,6 +763,23 @@ def run_device_batched(
         t["block_solve_s"] = _time.perf_counter() - t0
         info["block_planes"] = [int(x) for x in
                                 np.asarray(dres.num_planes)[:4]]
+
+        if not top:
+            # blocks-only mode: keep anchors, land the re-anchored block
+            # solutions (the global coupling is delegated to a caller-
+            # side solve — e.g. the span-compressed flat polish; the
+            # anchor-only plane problem is multi-modal on weakly-coupled
+            # scenes and needs the host hierarchy's consensus machinery)
+            Rrn = np.asarray(Rr, np.float64)
+            prn = np.asarray(pr, np.float64)
+            for b in range(B):
+                for j, i in enumerate(idx[b]):
+                    R[i] = _proj(Ra[b] @ Rrn[b, j])
+                    p[i] = Ra[b] @ prn[b, j] + pa[b]
+            t["cycle_s"] = sum(t.values())
+            info["timings"].append(
+                {k: round(v, 3) for k, v in t.items()})
+            continue
 
         t0 = _time.perf_counter()
         sp, spm = super_scans(bb, mb, Rr, pr)

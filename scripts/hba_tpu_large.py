@@ -88,6 +88,32 @@ def rsme(R, p, Rg, pg):
     return [rot * 57.2958, trans]
 
 
+def rpe(R, p, Rg, pg, d=10):
+    """Relative pose error over d-scan separations — the quality metric
+    that actually discriminates on corridor scenes: the cluster cost has
+    near-null smooth BENDING modes there (measured: a 59.7 deg ATE
+    solution with cost 50.3 vs the 1.6 deg solution's 48.2 and the
+    ground truth's 49.2), so global ATE between equal-cost solutions is
+    null-space luck, while RPE measures the locally-observable part."""
+    R = np.asarray(R, np.float64)
+    p = np.asarray(p, np.float64)
+    Rg = np.asarray(Rg, np.float64)
+    pg = np.asarray(pg, np.float64)
+    W = len(R)
+    rots, trs = [], []
+    for i in range(W - d):
+        Re = R[i].T @ R[i + d]
+        Rr = Rg[i].T @ Rg[i + d]
+        dRm = Re.T @ Rr
+        ang = np.arccos(np.clip((np.trace(dRm) - 1) / 2, -1, 1))
+        pe = R[i].T @ (p[i + d] - p[i])
+        pr = Rg[i].T @ (pg[i + d] - pg[i])
+        rots.append(ang)
+        trs.append(np.linalg.norm(pe - pr))
+    return [float(np.sqrt(np.mean(np.square(rots)))) * 57.2958,
+            float(np.sqrt(np.mean(np.square(trs))))]
+
+
 def flat_tpu(scans, R0, p0, vcfg, W):
     t0 = time.perf_counter()
     vres = grid.voxelize(scans, R0, p0, vcfg, dtype=np.float64)
@@ -125,40 +151,72 @@ def main(W=1024):
     n_pts = int(sum(len(s) for s in scans))
     out["points"] = n_pts
     out["init_rsme"] = rsme(R0, p0, R_gt, p_gt)
+    out["init_rpe10"] = rpe(R0, p0, R_gt, p_gt)
     print(f"points {n_pts}, init rsme {out['init_rsme']}", flush=True)
 
     from balm_tpu.config import VoxelConfig
 
     vcfg = VoxelConfig(min_observers=2)
 
-    # ---- hierarchy (batched device programs) ----
+    # ---- hierarchy: device-batched blocks + span-compressed global ----
+    # The vmapped block BAs (on-device association + packed solves, 2
+    # dispatches for the whole trajectory) produce a locally-consistent
+    # init; the span-compressed matrix-free flat solve couples it
+    # globally.  The anchor-only top level is multi-modal on this scene
+    # class (two near-equal-residual optima 0.6/2.7 deg from truth;
+    # basin selection flips with f32 rounding) and is skipped — the
+    # host hierarchy's consensus machinery (overlap edges, anchor PGO,
+    # cycle guard) is the single-scene answer to that, not replicated
+    # in the batched path.
     hkw = dict(
-        block=16, cycles=3,
+        block=16, cycles=1, top=False,
         block_caps=(1 << 9, 1 << 11, 1 << 13), Gcap_block=256,
         cs_cap_block=1 << 15,
-        top_caps=(1 << 13, 1 << 15, 1 << 17), Gcap_top=4096,
-        cs_cap_top=1 << 19,
         solver=SolverConfig(max_iters=12, u_init=0.01,
                             min_planes_per_pose=0, gauge_fix=False),
-        top_solver=SolverConfig(max_iters=25, u_init=0.01,
-                                min_planes_per_pose=0, gauge_fix=False),
         voxel=vcfg)
     # warm (compile) then timed
     hierarchical.run_device_batched(scans, R0, p0, **hkw)
     t0 = time.perf_counter()
     Rh, ph, info = hierarchical.run_device_batched(scans, R0, p0, **hkw)
     t_hier = time.perf_counter() - t0
+
+    # global coupling: span-compressed matrix-free solve at the
+    # block-refined poses (no dense (6W)^2 object at any W)
+    from balm_tpu.ops import factors_windowed as FW
+    from balm_tpu.solver import large as large_mod
+
+    t0 = time.perf_counter()
+    vres_h = grid.voxelize(scans, Rh, ph, vcfg, dtype=np.float64)
+    fr_h = Fmod.recenter_bodies(vres_h.factors).astype(jnp.float32)
+    wf_h = jax.tree_util.tree_map(jnp.asarray, FW.from_dense(fr_h))
+    pres = large_mod.damping_iter_large(
+        jnp.asarray(Rh, jnp.float32), jnp.asarray(ph, jnp.float32),
+        wf_h, SolverConfig(max_iters=25, u_init=0.01), cg_iters=100)
+    sync.fetch_scalar(pres.residual)
+    t_polish = time.perf_counter() - t0
+    polish_kind = f"span_compressed(S={int(wf_h.C.shape[1])})"
+    Rh2 = np.asarray(pres.R, np.float64)
+    ph2 = np.asarray(pres.p, np.float64)
+
     out["hier"] = {"wall_s": round(t_hier, 2),
+                   "polish_s": round(t_polish, 2),
+                   "polish_kind": polish_kind,
+                   "total_wall_s": round(t_hier + t_polish, 2),
                    "timings": info["timings"],
                    "overflow": info["overflow"],
                    "top_planes": info["top_planes"],
-                   "rsme": rsme(Rh, ph, R_gt, p_gt)}
+                   "rsme_before_polish": rsme(Rh, ph, R_gt, p_gt),
+                   "rsme": rsme(Rh2, ph2, R_gt, p_gt),
+                   "rpe10": rpe(Rh2, ph2, R_gt, p_gt)}
+    Rh, ph = Rh2, ph2
     print("hier:", out["hier"], flush=True)
 
     # ---- flat (dense packed solve) ----
     if W <= 1024:
         Rf, pf, flat, vres = flat_tpu(scans, R0, p0, vcfg, W)
         flat["rsme"] = rsme(Rf, pf, R_gt, p_gt)
+        flat["rpe10"] = rpe(Rf, pf, R_gt, p_gt)
         out["flat"] = flat
         print("flat:", flat, flush=True)
         # common cost (flat association's f64 factor set)
@@ -197,12 +255,38 @@ def main(W=1024):
             out["flat"] = {"feasible": False,
                            "note": "flat compile timed out (900 s)"}
         print("flat:", out["flat"], flush=True)
-        # score hier against a host-evaluated factor set at init poses
+        # flat via the span-compressed matrix-free solver (the
+        # beyond-dense-ceiling flat path) from the same init
+        from balm_tpu.ops import factors_windowed as FW2
+        from balm_tpu.solver import large as large_mod2
+
+        t0 = time.perf_counter()
         vres = grid.voxelize(scans, R0, p0, vcfg, dtype=np.float64)
+        fr0 = Fmod.recenter_bodies(vres.factors).astype(jnp.float32)
+        wf0 = jax.tree_util.tree_map(jnp.asarray, FW2.from_dense(fr0))
+        lres = large_mod2.damping_iter_large(
+            jnp.asarray(R0, jnp.float32), jnp.asarray(p0, jnp.float32),
+            wf0, SolverConfig(max_iters=40, u_init=0.01,
+                              min_planes_per_pose=0), cg_iters=100)
+        sync.fetch_scalar(lres.residual)
+        out["flat_large"] = {
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "planes": int(vres.num_planes),
+            "span": int(wf0.C.shape[1]),
+            "rsme": rsme(np.asarray(lres.R, np.float64),
+                         np.asarray(lres.p, np.float64), R_gt, p_gt),
+            "rpe10": rpe(np.asarray(lres.R, np.float64),
+                         np.asarray(lres.p, np.float64), R_gt, p_gt)}
+        print("flat_large:", out["flat_large"], flush=True)
         out["cost_init"] = host_cost(vres.factors, R0, p0)
         out["cost_gt"] = host_cost(vres.factors, R_gt, p_gt)
+        out["cost_flat_large"] = host_cost(
+            vres.factors, np.asarray(lres.R, np.float64),
+            np.asarray(lres.p, np.float64))
         out["cost_hier"] = host_cost(vres.factors, Rh, ph)
         out["hier_over_gt_cost"] = out["cost_hier"] / out["cost_gt"]
+        out["hier_over_flat_large_cost"] = (
+            out["cost_hier"] / out["cost_flat_large"])
 
     with open(ROOT / "artifacts" / f"hba_tpu_large_w{W}.json", "w") as fh:
         json.dump(out, fh, indent=2)
