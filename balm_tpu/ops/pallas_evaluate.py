@@ -1033,3 +1033,83 @@ def residual_only_packed(R, p, pk: PackedFactors, *, interpret: bool = False):
         lam = eigvals3(cov)
         coew = jnp.where(valid, pk.coe[0], 0.0)
         return jnp.sum(coew * lam[:, 0])
+
+
+def _chunk_pk(pk: PackedFactors, n_chunks: int):
+    """Split the plane (lane) axis into (K, ..., Gc) scan operands."""
+    Wp, _, Gp = pk.mom.shape
+    assert Gp % n_chunks == 0, (Gp, n_chunks)
+    Gc = Gp // n_chunks
+    mom = jnp.moveaxis(pk.mom.reshape(Wp, 10, n_chunks, Gc), 2, 0)
+    cen = jnp.moveaxis(pk.cen.reshape(3, n_chunks, Gc), 1, 0)
+    coe = jnp.moveaxis(pk.coe.reshape(1, n_chunks, Gc), 1, 0)
+    cfix = jnp.moveaxis(pk.cfix.reshape(10, n_chunks, Gc), 1, 0)
+    return mom, cen, coe, cfix
+
+
+def evaluate_packed_chunked(R, p, pk: PackedFactors, *, n_chunks: int,
+                            gap_eps: float = 1e-9, hess_precision=None):
+    """evaluate_packed as a lax.scan over plane chunks.
+
+    The round-3 finding: the ONE-program dense evaluate stops compiling
+    at W = 2048 (a fused op exceeds scoped VMEM — the remote compiler's
+    documented ceiling, artifacts/roofline.json).  Chunking the PLANE
+    axis shrinks every per-plane buffer by n_chunks while H/J/res
+    accumulate linearly across chunks — the compiled body is the W=2048
+    evaluate at Gc planes, reused K times by the scan.  This is the
+    'split the evaluate into factor-sharded sub-programs' workaround,
+    same math, same totals (chunk reduction order changes f32 roundoff
+    at the usual ~1e-7 level).
+    """
+    W = R.shape[0]
+    Wp = pk.wp
+    pose = pad_poses(R, p, Wp).astype(jnp.float32)
+    chunks = _chunk_pk(pk, n_chunks)
+
+    with jax.default_matmul_precision("float32"):
+
+        def body(carry, chunk):
+            mom, cen, coe, cfix = chunk
+            pc = PackedFactors(mom=mom, cen=cen, coe=coe, cfix=cfix)
+            csum = csum_packed_xla(pose, mom, cen, cfix)
+            res_c, aux = _aux_from_csum(csum, pc, gap_eps)
+            Ht, Jt, Dt = hess_packed_xla(pose, mom, cen, aux,
+                                         hess_precision=hess_precision)
+            res, H, J, D = carry
+            return (res + res_c, H + Ht, J + Jt, D + Dt), None
+
+        n6 = 6 * Wp
+        init = (jnp.asarray(0.0, jnp.float32),
+                jnp.zeros((n6, n6), jnp.float32),
+                jnp.zeros((Wp, 6), jnp.float32),
+                jnp.zeros((Wp, 36), jnp.float32))
+        (res, Ht, Jt, Dt), _ = jax.lax.scan(body, init, chunks)
+
+        iw = jnp.arange(W)
+        H = -Ht.reshape(Wp, 6, Wp, 6)[:W, :, :W, :]
+        D = Dt[:W, :36].reshape(W, 6, 6)
+        H = H.at[iw, :, iw, :].add(D).reshape(6 * W, 6 * W)
+        J = Jt[:W, :6].reshape(6 * W)
+    return res, J, H
+
+
+def residual_only_packed_chunked(R, p, pk: PackedFactors, *,
+                                 n_chunks: int):
+    """residual_only_packed as a lax.scan over plane chunks."""
+    W = R.shape[0]
+    pose = pad_poses(R, p, pk.wp).astype(jnp.float32)
+    chunks = _chunk_pk(pk, n_chunks)
+
+    with jax.default_matmul_precision("float32"):
+
+        def body(carry, chunk):
+            mom, cen, coe, cfix = chunk
+            csum = csum_packed_xla(pose, mom, cen, cfix)
+            N, Ns, valid, vbar, cov = csum_to_cov(csum, coe)
+            lam = eigvals3(cov)
+            coew = jnp.where(valid, coe[0], 0.0)
+            return carry + jnp.sum(coew * lam[:, 0]), None
+
+        res, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32),
+                              chunks)
+    return res

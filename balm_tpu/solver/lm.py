@@ -71,7 +71,8 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
                  update: str = "left", linear_solver: str = "cholesky",
                  backend: str = "xla", edges=None,
                  pcg_iters: int = 0, pcg_tol: float = 1e-6,
-                 hess_precision: str = "high", packed_impl: str = "xla"):
+                 hess_precision: str = "high", packed_impl: str = "xla",
+                 chunk_planes: int = 0):
     """Run the LM loop. R (W,3,3), p (W,3), f: PlaneFactors.
 
     update: 'left' (production, bavoxel.hpp:1122-1125) or 'right'
@@ -126,19 +127,19 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
         cfg.max_iters, cfg.u_init, cfg.v_init, cfg.rel_tol, cfg.abs_tol,
         cfg.min_planes_per_pose, cfg.gauge_fix, centered, use_lapack_eigh,
         update, linear_solver, backend, pallas_interpret, edges,
-        pcg_iters, pcg_tol, hess_precision, packed_impl,
+        pcg_iters, pcg_tol, hess_precision, packed_impl, chunk_planes,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnums=(3, 7, 9, 10, 11, 12, 13, 14, 15, 17, 18, 19, 20))
+    static_argnums=(3, 7, 9, 10, 11, 12, 13, 14, 15, 17, 18, 19, 20, 21))
 def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                       min_planes, gauge_fix, centered, use_lapack_eigh,
                       update, linear_solver, backend="xla",
                       pallas_interpret=False, edges=None,
                       pcg_iters=0, pcg_tol=1e-6, hess_precision="high",
-                      packed_impl="xla"):
+                      packed_impl="xla", chunk_planes=0):
     # full f32 matmul precision for EVERYTHING in the loop: on TPU the
     # default runs matmuls (pose composition, triangular solves) in bf16,
     # which silently degrades steps and stalls convergence ~0.1% above
@@ -148,7 +149,8 @@ def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
             R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
             min_planes, gauge_fix, centered, use_lapack_eigh,
             update, linear_solver, backend, pallas_interpret, edges,
-            pcg_iters, pcg_tol, hess_precision, packed_impl)
+            pcg_iters, pcg_tol, hess_precision, packed_impl,
+            chunk_planes)
 
 
 def _blocks6(A, W):
@@ -161,7 +163,8 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                 min_planes, centered, use_lapack_eigh, update,
                 linear_solver, backend="xla", pallas_interpret=False,
                 edges=None, pcg_iters=0, pcg_tol=1e-6,
-                hess_precision="high", packed_impl="xla"):
+                hess_precision="high", packed_impl="xla",
+                chunk_planes=0):
     """Construct (cond, body, init, degenerate, eval_res) for the LM loop
     — shared by the fused while_loop solver and the host-stepped timed
     variant (honest per-iteration wall-clock for convergence curves)."""
@@ -179,13 +182,29 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
         hp = {"highest": None, "high": jax.lax.Precision.HIGH,
               "bf16": jax.lax.Precision.DEFAULT}[hess_precision]
 
-        def eval_full_planes(R, p):
-            return pe.evaluate_packed(R, p, pkf, interpret=pallas_interpret,
-                                      hess_precision=hp, impl=packed_impl)
+        if chunk_planes > 0:
+            # factor-chunked dense evaluate: scan over plane chunks so
+            # the compiled body stays under the W=2048 one-program
+            # VMEM/compile ceiling (pe.evaluate_packed_chunked)
+            pkf = packed_mod.pad_planes(pkf, chunk_planes)
+            n_chunks = pkf.gp // chunk_planes
 
-        def eval_res_planes(R, p):
-            return pe.residual_only_packed(
-                R, p, pkf, interpret=pallas_interpret)
+            def eval_full_planes(R, p):
+                return pe.evaluate_packed_chunked(
+                    R, p, pkf, n_chunks=n_chunks, hess_precision=hp)
+
+            def eval_res_planes(R, p):
+                return pe.residual_only_packed_chunked(
+                    R, p, pkf, n_chunks=n_chunks)
+        else:
+            def eval_full_planes(R, p):
+                return pe.evaluate_packed(
+                    R, p, pkf, interpret=pallas_interpret,
+                    hess_precision=hp, impl=packed_impl)
+
+            def eval_res_planes(R, p):
+                return pe.residual_only_packed(
+                    R, p, pkf, interpret=pallas_interpret)
     else:
         def eval_full_planes(R, p):
             T = lie.pose_matrix(R, p)
@@ -345,12 +364,12 @@ def _damping_iter_body(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                        update, linear_solver, backend="xla",
                        pallas_interpret=False, edges=None,
                        pcg_iters=0, pcg_tol=1e-6, hess_precision="high",
-                       packed_impl="xla"):
+                       packed_impl="xla", chunk_planes=0):
     cond, body, init, degenerate, eval_res = _build_loop(
         R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol, min_planes,
         centered, use_lapack_eigh, update, linear_solver, backend,
         pallas_interpret, edges, pcg_iters, pcg_tol, hess_precision,
-        packed_impl)
+        packed_impl, chunk_planes)
     c = jax.lax.while_loop(cond, body, init)
     return _finish(c, degenerate, eval_res, gauge_fix)
 

@@ -114,7 +114,7 @@ def rpe(R, p, Rg, pg, d=10):
             float(np.sqrt(np.mean(np.square(trs))))]
 
 
-def flat_tpu(scans, R0, p0, vcfg, W):
+def flat_tpu(scans, R0, p0, vcfg, W, chunk_planes=0):
     t0 = time.perf_counter()
     vres = grid.voxelize(scans, R0, p0, vcfg, dtype=np.float64)
     t_assoc = time.perf_counter() - t0
@@ -127,7 +127,8 @@ def flat_tpu(scans, R0, p0, vcfg, W):
 
     def run(Rin):
         return lm.damping_iter(Rin, pj, fr, scfg, centered=True,
-                               backend="packed")
+                               backend="packed",
+                               chunk_planes=chunk_planes)
 
     res = run(Rj)
     sync.fetch_scalar(res.residual)          # compile + warm
@@ -181,21 +182,25 @@ def main(W=1024):
     Rh, ph, info = hierarchical.run_device_batched(scans, R0, p0, **hkw)
     t_hier = time.perf_counter() - t0
 
-    # global coupling: span-compressed matrix-free solve at the
-    # block-refined poses (no dense (6W)^2 object at any W)
-    from balm_tpu.ops import factors_windowed as FW
-    from balm_tpu.solver import large as large_mod
-
+    # global coupling: dense packed polish — one program at W <= 1024,
+    # factor-CHUNKED (lax.scan over plane chunks) past the one-program
+    # compile ceiling.  (The span-compressed PCG solver was tried here
+    # and stalls ~1.8x above the optimum on re-associated factors; the
+    # chunked dense evaluate keeps exact Newton steps at any W.)
     t0 = time.perf_counter()
     vres_h = grid.voxelize(scans, Rh, ph, vcfg, dtype=np.float64)
     fr_h = Fmod.recenter_bodies(vres_h.factors).astype(jnp.float32)
-    wf_h = jax.tree_util.tree_map(jnp.asarray, FW.from_dense(fr_h))
-    pres = large_mod.damping_iter_large(
+    fr_h = jax.tree_util.tree_map(jnp.asarray, fr_h)
+    chunk = 0 if W <= 1024 else 2048
+    pres = lm.damping_iter(
         jnp.asarray(Rh, jnp.float32), jnp.asarray(ph, jnp.float32),
-        wf_h, SolverConfig(max_iters=25, u_init=0.01), cg_iters=100)
+        fr_h, SolverConfig(max_iters=25, u_init=0.01,
+                           min_planes_per_pose=0),
+        centered=True, backend="packed", chunk_planes=chunk)
     sync.fetch_scalar(pres.residual)
     t_polish = time.perf_counter() - t0
-    polish_kind = f"span_compressed(S={int(wf_h.C.shape[1])})"
+    polish_kind = ("dense_packed" if chunk == 0
+                   else f"chunked_dense(chunk={chunk})")
     Rh2 = np.asarray(pres.R, np.float64)
     ph2 = np.asarray(pres.p, np.float64)
 
@@ -255,38 +260,22 @@ def main(W=1024):
             out["flat"] = {"feasible": False,
                            "note": "flat compile timed out (900 s)"}
         print("flat:", out["flat"], flush=True)
-        # flat via the span-compressed matrix-free solver (the
-        # beyond-dense-ceiling flat path) from the same init
-        from balm_tpu.ops import factors_windowed as FW2
-        from balm_tpu.solver import large as large_mod2
-
-        t0 = time.perf_counter()
-        vres = grid.voxelize(scans, R0, p0, vcfg, dtype=np.float64)
-        fr0 = Fmod.recenter_bodies(vres.factors).astype(jnp.float32)
-        wf0 = jax.tree_util.tree_map(jnp.asarray, FW2.from_dense(fr0))
-        lres = large_mod2.damping_iter_large(
-            jnp.asarray(R0, jnp.float32), jnp.asarray(p0, jnp.float32),
-            wf0, SolverConfig(max_iters=40, u_init=0.01,
-                              min_planes_per_pose=0), cg_iters=100)
-        sync.fetch_scalar(lres.residual)
-        out["flat_large"] = {
-            "wall_s": round(time.perf_counter() - t0, 2),
-            "planes": int(vres.num_planes),
-            "span": int(wf0.C.shape[1]),
-            "rsme": rsme(np.asarray(lres.R, np.float64),
-                         np.asarray(lres.p, np.float64), R_gt, p_gt),
-            "rpe10": rpe(np.asarray(lres.R, np.float64),
-                         np.asarray(lres.p, np.float64), R_gt, p_gt)}
-        print("flat_large:", out["flat_large"], flush=True)
+        # flat via the factor-CHUNKED dense evaluate (the prescribed
+        # workaround for the one-program compile ceiling)
+        Rf, pf, flatc, vres = flat_tpu(scans, R0, p0, vcfg, W,
+                                       chunk_planes=2048)
+        flatc["rsme"] = rsme(Rf, pf, R_gt, p_gt)
+        flatc["rpe10"] = rpe(Rf, pf, R_gt, p_gt)
+        flatc["kind"] = "chunked_dense(chunk=2048)"
+        out["flat_chunked"] = flatc
+        print("flat_chunked:", out["flat_chunked"], flush=True)
         out["cost_init"] = host_cost(vres.factors, R0, p0)
         out["cost_gt"] = host_cost(vres.factors, R_gt, p_gt)
-        out["cost_flat_large"] = host_cost(
-            vres.factors, np.asarray(lres.R, np.float64),
-            np.asarray(lres.p, np.float64))
+        out["cost_flat_chunked"] = host_cost(vres.factors, Rf, pf)
         out["cost_hier"] = host_cost(vres.factors, Rh, ph)
         out["hier_over_gt_cost"] = out["cost_hier"] / out["cost_gt"]
-        out["hier_over_flat_large_cost"] = (
-            out["cost_hier"] / out["cost_flat_large"])
+        out["hier_over_flat_chunked_cost"] = (
+            out["cost_hier"] / out["cost_flat_chunked"])
 
     with open(ROOT / "artifacts" / f"hba_tpu_large_w{W}.json", "w") as fh:
         json.dump(out, fh, indent=2)

@@ -239,3 +239,38 @@ def test_packed_backend_at_large_w():
                           SolverConfig(max_iters=1, min_planes_per_pose=0),
                           centered=True, backend="packed")
     assert np.isfinite(float(res.residual))
+
+
+def test_chunked_evaluate_matches_unchunked():
+    """evaluate_packed_chunked (the beyond-W=2048-compile-ceiling
+    factor-chunked form) must match evaluate_packed bit-for-bit up to
+    chunk-reduction roundoff."""
+    import jax
+
+    from balm_tpu.config import SolverConfig
+    from balm_tpu.solver import lm
+    from tests.test_factors import make_problem
+
+    R, p, f, _ = make_problem(G=37, W=5, K=20, seed=9)
+    fr = factors.recenter_bodies(f).astype(jnp.float32)
+    fr = jax.tree_util.tree_map(jnp.asarray, fr)
+    pkf = pk.pack_factors(fr)
+    Rj = jnp.asarray(R, jnp.float32)
+    pj = jnp.asarray(p, jnp.float32)
+    with jax.default_matmul_precision("float32"):
+        r0, J0, H0 = pe.evaluate_packed(Rj, pj, pkf, interpret=True)
+        pk2 = pk.pad_planes(pkf, 128)
+        r1, J1, H1 = pe.evaluate_packed_chunked(
+            Rj, pj, pk2, n_chunks=pk2.gp // 128)
+    assert abs(float(r0) - float(r1)) < 1e-5 * abs(float(r0))
+    assert float(jnp.max(jnp.abs(J0 - J1))) < 1e-4 * float(
+        jnp.max(jnp.abs(J0)))
+    assert float(jnp.max(jnp.abs(H0 - H1))) < 1e-4 * float(
+        jnp.max(jnp.abs(H0)))
+
+    cfg = SolverConfig(max_iters=5, u_init=0.01, min_planes_per_pose=1)
+    a = lm.damping_iter(Rj, pj, fr, cfg, centered=True, backend="packed")
+    b = lm.damping_iter(Rj, pj, fr, cfg, centered=True, backend="packed",
+                        chunk_planes=128)
+    assert abs(float(a.residual) - float(b.residual)) < 1e-5 * abs(
+        float(a.residual))
