@@ -243,7 +243,19 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
         )
         D = jnp.diag(H)
         A = H + c.u * jnp.diag(D)
-        if linear_solver == "cholesky":
+        if linear_solver == "cholesky_nofallback":
+            # the pivoted-LU fallback's LuDecompositionBlock custom call
+            # needs ~18 MB scoped VMEM at 6W = 12288 and stops compiling
+            # (it sits in a lax.cond branch, so it must compile even if
+            # never taken).  Without it, an indefinite H + uD yields a
+            # non-finite Cholesky step -> dx = 0 -> the trial is
+            # rejected and LM raises u, which is exactly the damping
+            # loop's own recovery mechanism (one wasted iteration).
+            L = jax.scipy.linalg.cho_factor(A, lower=True)
+            dx_c = jax.scipy.linalg.cho_solve(L, -J)
+            dx = jnp.where(jnp.all(jnp.isfinite(dx_c)), dx_c,
+                           jnp.zeros_like(dx_c))
+        elif linear_solver == "cholesky":
             # Cholesky is much faster than LU on TPU (no pivoting), but the
             # exact Newton H + uD can be indefinite far from the optimum
             # (the reference's LDLT handles that, bavoxel.hpp:1114).  Fast

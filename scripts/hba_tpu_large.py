@@ -126,9 +126,11 @@ def flat_tpu(scans, R0, p0, vcfg, W, chunk_planes=0):
     pj = jnp.asarray(p0, jnp.float32)
 
     def run(Rin):
-        return lm.damping_iter(Rin, pj, fr, scfg, centered=True,
-                               backend="packed",
-                               chunk_planes=chunk_planes)
+        return lm.damping_iter(
+            Rin, pj, fr, scfg, centered=True, backend="packed",
+            chunk_planes=chunk_planes,
+            linear_solver=("cholesky_nofallback" if W > 1024
+                           else "cholesky"))
 
     res = run(Rj)
     sync.fetch_scalar(res.residual)          # compile + warm
@@ -196,7 +198,9 @@ def main(W=1024):
         jnp.asarray(Rh, jnp.float32), jnp.asarray(ph, jnp.float32),
         fr_h, SolverConfig(max_iters=25, u_init=0.01,
                            min_planes_per_pose=0),
-        centered=True, backend="packed", chunk_planes=chunk)
+        centered=True, backend="packed", chunk_planes=chunk,
+        linear_solver=("cholesky_nofallback" if W > 1024
+                       else "cholesky"))
     sync.fetch_scalar(pres.residual)
     t_polish = time.perf_counter() - t0
     polish_kind = ("dense_packed" if chunk == 0
