@@ -81,10 +81,13 @@ def main():
         cfg = {"W": W, "G": G}
 
         with jax.default_matmul_precision("float32"):
-            # phase 1: moment accumulation
-            csum_f = jax.jit(lambda pose: pe.csum_packed_xla(
-                pose, pk.mom, pk.cen, pk.cfix))
-            lowered = csum_f.lower(pose)
+            # phase 1: moment accumulation.  Big operands must be jit
+            # ARGUMENTS: closed-over device arrays ship as constants
+            # with the remote compile request (HTTP 413 past ~200 MB)
+            csum_f0 = jax.jit(lambda pose, mom, cen, cfix:
+                              pe.csum_packed_xla(pose, mom, cen, cfix))
+            csum_f = lambda pose: csum_f0(pose, pk.mom, pk.cen, pk.cfix)
+            lowered = csum_f0.lower(pose, pk.mom, pk.cen, pk.cfix)
             comp = lowered.compile()
             csum = csum_f(pose)
             cfg["csum"] = mem_model(comp)
@@ -92,40 +95,47 @@ def main():
                 csum_f, pose, k=8, reps=2)["per_run_s"]
 
             # phase 2: aux (eigh + weights)
-            aux_f = jax.jit(
-                lambda csum: pe._aux_from_csum(csum, pk, 1e-9)[1])
-            comp = aux_f.lower(csum).compile()
+            aux_f0 = jax.jit(
+                lambda csum, coe: pe._aux_from_csum(
+                    csum, pkmod.PackedFactors(
+                        mom=jnp.zeros((1, 10, coe.shape[1])), cen=None,
+                        coe=coe, cfix=None), 1e-9)[1])
+            aux_f = lambda csum: aux_f0(csum, pk.coe)
+            comp = aux_f0.lower(csum, pk.coe).compile()
             aux = aux_f(csum)
             cfg["aux"] = mem_model(comp)
             cfg["aux"]["time_s"] = sync.time_per_run(
                 aux_f, csum, k=8, reps=2)["per_run_s"]
 
             # phase 3a: rows channels ONLY (materialized as one array)
-            def rows_only(pose):
-                rows, jv, D = pe._rows_channels_xla(
-                    pose, pk.mom, pk.cen, aux)
+            def rows_only(pose, mom, cen, aux):
+                rows, jv, D = pe._rows_channels_xla(pose, mom, cen, aux)
                 return [jnp.stack([rows[j][k] for j in range(6)], axis=1)
                         for k in range(3)]
 
-            rows_f = jax.jit(rows_only)
-            comp = rows_f.lower(pose).compile()
+            rows_f0 = jax.jit(rows_only)
+            comp = rows_f0.lower(pose, pk.mom, pk.cen, aux).compile()
             cfg["rows_only"] = mem_model(comp)
             cfg["rows_only"]["time_s"] = sync.time_per_run(
-                rows_f, pose, k=6, reps=2)["per_run_s"]
+                lambda pose: rows_f0(pose, pk.mom, pk.cen, aux),
+                pose, k=6, reps=2)["per_run_s"]
 
             # phase 3b: full rows + matmul (hess HIGH)
-            hess_f = jax.jit(lambda pose: pe.hess_packed_xla(
-                pose, pk.mom, pk.cen, aux,
-                hess_precision=lax.Precision.HIGH))
-            comp = hess_f.lower(pose).compile()
+            hess_f0 = jax.jit(lambda pose, mom, cen, aux:
+                              pe.hess_packed_xla(
+                                  pose, mom, cen, aux,
+                                  hess_precision=lax.Precision.HIGH))
+            comp = hess_f0.lower(pose, pk.mom, pk.cen, aux).compile()
             cfg["hess"] = mem_model(comp)
             cfg["hess"]["time_s"] = sync.time_per_run(
-                hess_f, pose, k=4, reps=2)["per_run_s"]
+                lambda pose: hess_f0(pose, pk.mom, pk.cen, aux),
+                pose, k=4, reps=2)["per_run_s"]
 
             # full evaluate
-            ev_f = jax.jit(lambda R, p: pe.evaluate_packed(
+            ev_f0 = jax.jit(lambda R, p, pk: pe.evaluate_packed(
                 R, p, pk, hess_precision=lax.Precision.HIGH))
-            comp = ev_f.lower(R, p).compile()
+            ev_f = lambda R, p: ev_f0(R, p, pk)
+            comp = ev_f0.lower(R, p, pk).compile()
             cfg["evaluate"] = mem_model(comp)
 
             def run_ev(R):
