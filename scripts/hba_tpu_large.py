@@ -193,18 +193,29 @@ def main(W=1024):
     vres_h = grid.voxelize(scans, Rh, ph, vcfg, dtype=np.float64)
     fr_h = Fmod.recenter_bodies(vres_h.factors).astype(jnp.float32)
     fr_h = jax.tree_util.tree_map(jnp.asarray, fr_h)
-    chunk = 0 if W <= 1024 else 2048
-    pres = lm.damping_iter(
-        jnp.asarray(Rh, jnp.float32), jnp.asarray(ph, jnp.float32),
-        fr_h, SolverConfig(max_iters=25, u_init=0.01,
-                           min_planes_per_pose=0),
-        centered=True, backend="packed", chunk_planes=chunk,
-        linear_solver=("cholesky_nofallback" if W > 1024
-                       else "cholesky"))
+    if W <= 1024:
+        pres = lm.damping_iter(
+            jnp.asarray(Rh, jnp.float32), jnp.asarray(ph, jnp.float32),
+            fr_h, SolverConfig(max_iters=25, u_init=0.01,
+                               min_planes_per_pose=0),
+            centered=True, backend="packed")
+        chunk = 0
+    else:
+        # past the dense ceiling (superlinear temp growth, artifacts/
+        # roofline_bytes.json): span-compressed matrix-free polish
+        from balm_tpu.ops import factors_windowed as FW
+        from balm_tpu.solver import large as large_mod
+
+        wf_h = jax.tree_util.tree_map(jnp.asarray, FW.from_dense(fr_h))
+        pres = large_mod.damping_iter_large(
+            jnp.asarray(Rh, jnp.float32), jnp.asarray(ph, jnp.float32),
+            wf_h, SolverConfig(max_iters=25, u_init=0.01),
+            cg_iters=300, cg_tol=1e-6)
+        chunk = -1
     sync.fetch_scalar(pres.residual)
     t_polish = time.perf_counter() - t0
     polish_kind = ("dense_packed" if chunk == 0
-                   else f"chunked_dense(chunk={chunk})")
+                   else "span_compressed")
     Rh2 = np.asarray(pres.R, np.float64)
     ph2 = np.asarray(pres.p, np.float64)
 
@@ -264,22 +275,39 @@ def main(W=1024):
             out["flat"] = {"feasible": False,
                            "note": "flat compile timed out (900 s)"}
         print("flat:", out["flat"], flush=True)
-        # flat via the factor-CHUNKED dense evaluate (the prescribed
-        # workaround for the one-program compile ceiling)
-        Rf, pf, flatc, vres = flat_tpu(scans, R0, p0, vcfg, W,
-                                       chunk_planes=2048)
-        flatc["rsme"] = rsme(Rf, pf, R_gt, p_gt)
-        flatc["rpe10"] = rpe(Rf, pf, R_gt, p_gt)
-        flatc["kind"] = "chunked_dense(chunk=2048)"
+        # flat via the span-compressed matrix-free solver; the dense
+        # one-program AND factor-chunked paths both hit the superlinear
+        # temp-growth HBM ceiling at this W (measured 28.3-28.9 GB of
+        # 15.75 GB; artifacts/roofline_bytes.json 'temp_scaling_finding')
+        from balm_tpu.ops import factors_windowed as FW2
+        from balm_tpu.solver import large as large_mod2
+
+        t0 = time.perf_counter()
+        vres = grid.voxelize(scans, R0, p0, vcfg, dtype=np.float64)
+        fr0 = Fmod.recenter_bodies(vres.factors).astype(jnp.float32)
+        wf0 = jax.tree_util.tree_map(jnp.asarray, FW2.from_dense(fr0))
+        lres = large_mod2.damping_iter_large(
+            jnp.asarray(R0, jnp.float32), jnp.asarray(p0, jnp.float32),
+            wf0, SolverConfig(max_iters=40, u_init=0.01),
+            cg_iters=300, cg_tol=1e-6)
+        sync.fetch_scalar(lres.residual)
+        Rf = np.asarray(lres.R, np.float64)
+        pf = np.asarray(lres.p, np.float64)
+        flatc = {"wall_s": round(time.perf_counter() - t0, 2),
+                 "planes": int(vres.num_planes),
+                 "span": int(wf0.C.shape[1]),
+                 "kind": "span_compressed",
+                 "rsme": rsme(Rf, pf, R_gt, p_gt),
+                 "rpe10": rpe(Rf, pf, R_gt, p_gt)}
         out["flat_chunked"] = flatc
         print("flat_chunked:", out["flat_chunked"], flush=True)
         out["cost_init"] = host_cost(vres.factors, R0, p0)
         out["cost_gt"] = host_cost(vres.factors, R_gt, p_gt)
-        out["cost_flat_chunked"] = host_cost(vres.factors, Rf, pf)
+        out["cost_flat_span"] = host_cost(vres.factors, Rf, pf)
         out["cost_hier"] = host_cost(vres.factors, Rh, ph)
         out["hier_over_gt_cost"] = out["cost_hier"] / out["cost_gt"]
-        out["hier_over_flat_chunked_cost"] = (
-            out["cost_hier"] / out["cost_flat_chunked"])
+        out["hier_over_flat_span_cost"] = (
+            out["cost_hier"] / out["cost_flat_span"])
 
     with open(ROOT / "artifacts" / f"hba_tpu_large_w{W}.json", "w") as fh:
         json.dump(out, fh, indent=2)
