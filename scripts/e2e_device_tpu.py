@@ -56,17 +56,17 @@ def main():
     float(bd[-1, -1, 0])
     t_xfer = time.perf_counter() - t0
 
-    N = int(np.prod(body.shape[:2]))
-    base = max(1 << 14, min(N // 8, 1 << 20))
-    caps = tuple(min(base * (4 ** L), 1 << 21)
-                 for L in range(cfg.voxel.layer_limit + 1))
+    # realworld-tuned capacities (gather/scatter cost scales with the
+    # TABLE size — artifacts/microbench_pass_pieces.json)
     kw = dict(
         voxel_size=float(cfg.voxel.voxel_size),
         layer_limit=int(cfg.voxel.layer_limit),
         eigen_ratio=tuple(float(r) for r in cfg.voxel.eigen_ratio),
         min_points=int(cfg.voxel.min_points),
         min_observers=int(cfg.voxel.min_observers),
-        unit_coe=False, cell_caps=caps, Gcap=1 << 13,
+        unit_coe=False, cell_caps=(1 << 14, 1 << 16, 1 << 17),
+        Gcap=1 << 13, cs_cap=2_200_000, pair_cap=1 << 18,
+        want_point_leaf=False,
     )
 
     @jax.jit
