@@ -112,8 +112,13 @@ def run(cfg: RealworldConfig = RealworldConfig(), *, verbose: bool = False):
     needs_host_assoc = (cfg.merge_planes or cfg.export_dir is not None
                         or cfg.stages is not None
                         or not cfg.centered or dtype != jnp.float32)
+    # the device voxelizer packs the scan id into the sort key:
+    # ceil(log2(W)) + 3*layer_limit <= 16 (W <= 1024 at layer_limit 2)
+    device_key_ok = (max(W - 1, 1).bit_length()
+                     + 3 * cfg.voxel.layer_limit) <= 16
     if assoc == "auto":
         assoc = ("device" if (jax.default_backend() == "tpu"
+                              and device_key_ok
                               and not needs_host_assoc)
                  else "host")
     elif assoc == "device" and needs_host_assoc:

@@ -157,3 +157,40 @@ def test_device_prepadded_input_and_unit_weighting():
     coe = np.asarray(b.factors.coe)
     assert np.all(coe[:nb] == 1.0)
     assert np.all(coe[nb:] == 0.0)
+
+
+def test_overflow_retry_recovers():
+    """Deliberately undersized capacities must set the overflow flag and
+    the wrapper's retry-with-bigger-caps must then reproduce the
+    correctly-sized run's factors."""
+    R, p, scans = make_scene(seed=7, W=4, n_planes=8, pts_per=250)
+    cfg = VoxelConfig(voxel_size=1.0, min_observers=2)
+    good = device.voxelize_device(scans, R, p, cfg, Gcap=128)
+    assert not bool(good.overflow)
+
+    # tiny caps: first attempt overflows, retry escalates x4
+    tiny = device.voxelize_device(
+        scans, R, p, cfg, cell_caps=(8, 16, 32), Gcap=8, cs_cap=1 << 10,
+        pair_cap=16, max_retries=3)
+    assert not bool(tiny.overflow)
+    assert int(tiny.num_planes) == int(good.num_planes)
+    ca = np.sort(np.asarray(good.factors.coe))
+    cb = np.sort(np.asarray(tiny.factors.coe))
+    np.testing.assert_allclose(ca[-int(good.num_planes):],
+                               cb[-int(tiny.num_planes):], rtol=1e-12)
+
+
+def test_too_many_scans_raises():
+    """W beyond the packed-key budget must fail loudly, not corrupt."""
+    import pytest as _pytest
+
+    body = jnp.zeros((2048, 8, 3))
+    mask = jnp.ones((2048, 8), bool)
+    R = jnp.tile(jnp.eye(3), (2048, 1, 1))
+    p = jnp.zeros((2048, 3))
+    with _pytest.raises(ValueError, match="key bits"):
+        device._voxelize_core(
+            body, mask, R, p, voxel_size=1.0, layer_limit=2,
+            eigen_ratio=(1 / 16,), min_points=5, min_observers=1,
+            unit_coe=False, cell_caps=(64, 128, 256), Gcap=64,
+            cs_cap=1 << 10)
