@@ -1012,6 +1012,15 @@ def evaluate_packed(R, p, pk: PackedFactors, *, gap_eps: float = 1e-9,
                          (None, lax.Precision.HIGHEST) else "bf16x3")
                 Ht, Jt, Dt = hess_packed_v2(pose, pk.mom, pk.cen, aux,
                                             interpret=interpret, split=split)
+            elif impl == "hybrid":
+                # Pallas rows assembly + XLA dot: beats the pure-XLA
+                # formulation 1.07-1.6x at every measured scale
+                # (artifacts/ab_rows_hybrid.json) — the first fused-
+                # kernel configuration that wins under the honest
+                # fetch-synced protocol
+                Ht, Jt, Dt = hess_packed_hybrid(
+                    pose, pk.mom, pk.cen, aux,
+                    hess_precision=hess_precision, interpret=interpret)
             else:
                 Ht, Jt, Dt = hess_packed(pose, pk.mom, pk.cen, aux,
                                          interpret=interpret)
@@ -1113,3 +1122,98 @@ def residual_only_packed_chunked(R, p, pk: PackedFactors, *,
         res, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32),
                               chunks)
     return res
+
+
+# --------------------------------------------------------------------------
+# Hybrid: Pallas rows assembly + XLA dot (round-4 MFU experiment)
+# --------------------------------------------------------------------------
+
+def _rows_only_kernel(pose_ref, mom_ref, cen_ref, aux_ref,
+                      r0_ref, r1_ref, r2_ref, j_ref, d_ref):
+    i = pl.program_id(0)
+    Wp = mom_ref.shape[0]
+    rows, jv, D = _rows_channels_xla(
+        pose_ref[...], mom_ref[...], cen_ref[...], aux_ref[...])
+    for k, rref in enumerate((r0_ref, r1_ref, r2_ref)):
+        for j in range(6):
+            rref[pl.ds(j * Wp, Wp), :] = rows[j][k]
+    jsum = jnp.concatenate(
+        [jnp.sum(jv[j], axis=1, keepdims=True) for j in range(6)], axis=1)
+    dsum = jnp.concatenate(
+        [jnp.sum(D[a][b], axis=1, keepdims=True)
+         for a in range(6) for b in range(6)], axis=1)
+
+    @pl.when(i == 0)
+    def _():
+        j_ref[...] = jnp.zeros_like(j_ref)
+        d_ref[...] = jnp.zeros_like(d_ref)
+
+    j_ref[:, 0:6] += jsum
+    d_ref[:, 0:36] += dsum
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "bg"))
+def rows_packed_pallas(pose, mom, cen, aux, *, interpret: bool = False,
+                       bg: int = 0):
+    """Rank-row operands (3 x (6Wp, Gp), j-major) + J + D via ONE Pallas
+    kernel — no XLA channel materialization.  The matmul stays on XLA's
+    dot (hess_packed_hybrid): the fully-fused kernels' dots lose to
+    XLA's at W >= 512 while their VPU assembly is cheap, so the hybrid
+    takes each side's winner."""
+    Wp, _, Gp = mom.shape
+    if bg == 0:
+        bg = BG_HESS       # measured: larger tiles fail Mosaic compile
+                           # while 128 compiles and is already ~3x the
+                           # XLA rows-assembly speed
+    assert Gp % bg == 0 and Wp % 8 == 0
+    n6 = 6 * Wp
+    return pl.pallas_call(
+        _rows_only_kernel,
+        grid=(Gp // bg,),
+        in_specs=[
+            pl.BlockSpec((Wp, 12), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wp, 10, bg), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, bg), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((AUX_CH, bg), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n6, bg), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n6, bg), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n6, bg), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wp, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wp, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n6, Gp), jnp.float32),
+            jax.ShapeDtypeStruct((n6, Gp), jnp.float32),
+            jax.ShapeDtypeStruct((n6, Gp), jnp.float32),
+            jax.ShapeDtypeStruct((Wp, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((Wp, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(pose, mom, cen, aux)
+
+
+def hess_packed_hybrid(pose, mom, cen, aux, *, hess_precision=None,
+                       interpret: bool = False):
+    """-> (Htilde (6Wp, 6Wp) in (j, w)-major order, J (Wp, 6),
+    D (Wp, 36)): Pallas rows + XLA dot."""
+    r0, r1, r2, Jt, Dt = rows_packed_pallas(pose, mom, cen, aux,
+                                            interpret=interpret)
+    kw = (_DOT_KW if hess_precision is None
+          else {**_DOT_KW, "precision": hess_precision})
+    H = lax.dot_general(r0, r0, **kw)
+    H = H + lax.dot_general(r1, r1, **kw)
+    H = H + lax.dot_general(r2, r2, **kw)
+    return H, Jt[:, :6], Dt[:, :36]

@@ -71,7 +71,7 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
                  update: str = "left", linear_solver: str = "cholesky",
                  backend: str = "xla", edges=None,
                  pcg_iters: int = 0, pcg_tol: float = 1e-6,
-                 hess_precision: str = "high", packed_impl: str = "xla",
+                 hess_precision: str = "high", packed_impl: str = "auto",
                  chunk_planes: int = 0):
     """Run the LM loop. R (W,3,3), p (W,3), f: PlaneFactors.
 
@@ -114,6 +114,12 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
         raise ValueError("right update requires centered=False")
     if edges is not None and update != "left":
         raise ValueError("pose-graph edges require the left update")
+    if packed_impl == "auto":
+        # 'hybrid' (Pallas rows + XLA dot) wins 1.07-1.6x on real TPU at
+        # every measured scale (artifacts/ab_rows_hybrid.json); on CPU
+        # the interpreted kernel would crawl -> pure XLA there
+        packed_impl = ("hybrid" if jax.default_backend() == "tpu"
+                       else "xla")
     if backend in ("pallas", "packed"):
         backend = "pallas"
         if not centered or update != "left":

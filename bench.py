@@ -96,7 +96,7 @@ def main():
     # packed evaluator implementation: 'xla' (default — fastest end-to-end
     # through the tunnel) or 'pallas2' (fused kernel, faster device-side;
     # see solver/lm.py damping_iter docstring)
-    packed_impl = os.environ.get("BENCH_PACKED_IMPL", "xla")
+    packed_impl = os.environ.get("BENCH_PACKED_IMPL", "auto")
 
     from balm_tpu.utils import sync
 

@@ -274,3 +274,26 @@ def test_chunked_evaluate_matches_unchunked():
                         chunk_planes=128)
     assert abs(float(a.residual) - float(b.residual)) < 1e-5 * abs(
         float(a.residual))
+
+
+def test_hybrid_impl_matches_xla():
+    """impl='hybrid' (Pallas rows + XLA dot — the TPU production
+    default) must match the pure-XLA packed evaluator."""
+    import jax
+
+    R, p, f, _ = make_problem(G=21, W=4, K=20, seed=13)
+    fr = factors.recenter_bodies(f).astype(jnp.float32)
+    fr = jax.tree_util.tree_map(jnp.asarray, fr)
+    pkf = pk.pack_factors(fr)
+    Rj = jnp.asarray(R, jnp.float32)
+    pj = jnp.asarray(p, jnp.float32)
+    with jax.default_matmul_precision("float32"):
+        r0, J0, H0 = pe.evaluate_packed(Rj, pj, pkf, interpret=True,
+                                        impl="xla")
+        r1, J1, H1 = pe.evaluate_packed(Rj, pj, pkf, interpret=True,
+                                        impl="hybrid")
+    assert abs(float(r0) - float(r1)) < 1e-5 * abs(float(r0))
+    assert float(jnp.max(jnp.abs(J0 - J1))) < 1e-4 * float(
+        jnp.max(jnp.abs(J0)) + 1e-30)
+    assert float(jnp.max(jnp.abs(H0 - H1))) < 1e-4 * float(
+        jnp.max(jnp.abs(H0)))
