@@ -1007,20 +1007,15 @@ def evaluate_packed(R, p, pk: PackedFactors, *, gap_eps: float = 1e-9,
             # already (w,j)-major; crop padding, negate rank part
             H = -Ht.reshape(Wp, 6, Wp, 6)[:W, :, :W, :]
         else:
-            if impl == "pallas2":
+            if impl == "hybrid":
+                Ht, Jt, Dt = hess_packed_hybrid(
+                    pose, pk.mom, pk.cen, aux,
+                    hess_precision=hess_precision, interpret=interpret)
+            elif impl == "pallas2":
                 split = ("f32" if hess_precision in
                          (None, lax.Precision.HIGHEST) else "bf16x3")
                 Ht, Jt, Dt = hess_packed_v2(pose, pk.mom, pk.cen, aux,
                                             interpret=interpret, split=split)
-            elif impl == "hybrid":
-                # Pallas rows assembly + XLA dot: beats the pure-XLA
-                # formulation 1.07-1.6x at every measured scale
-                # (artifacts/ab_rows_hybrid.json) — the first fused-
-                # kernel configuration that wins under the honest
-                # fetch-synced protocol
-                Ht, Jt, Dt = hess_packed_hybrid(
-                    pose, pk.mom, pk.cen, aux,
-                    hess_precision=hess_precision, interpret=interpret)
             else:
                 Ht, Jt, Dt = hess_packed(pose, pk.mom, pk.cen, aux,
                                          interpret=interpret)
@@ -1135,6 +1130,10 @@ def _rows_only_kernel(pose_ref, mom_ref, cen_ref, aux_ref,
     rows, jv, D = _rows_channels_xla(
         pose_ref[...], mom_ref[...], cen_ref[...], aux_ref[...])
     for k, rref in enumerate((r0_ref, r1_ref, r2_ref)):
+        # j-major contiguous writes (an in-VMEM (w, j) interleave was
+        # tried and costs MORE than the downstream transpose it saves:
+        # 117 vs 99 ms evaluate at W=1024); the solver consumes the
+        # (j, w)-major H directly via evaluate_packed_jw
         for j in range(6):
             rref[pl.ds(j * Wp, Wp), :] = rows[j][k]
     jsum = jnp.concatenate(
@@ -1217,3 +1216,32 @@ def hess_packed_hybrid(pose, mom, cen, aux, *, hess_precision=None,
     H = H + lax.dot_general(r1, r1, **kw)
     H = H + lax.dot_general(r2, r2, **kw)
     return H, Jt[:, :6], Dt[:, :36]
+
+
+def evaluate_packed_jw(R, p, pk: PackedFactors, *, gap_eps: float = 1e-9,
+                       interpret: bool = False, hess_precision=None):
+    """evaluate_packed with impl='hybrid' and the (j, w)-MAJOR layout
+    kept all the way out: returns (res, J_jw (6W,), H_jw (6W, 6W)) where
+    index = j * W + w.  The (6, Wp, 6, Wp) transpose back to (w, j)-major
+    costs ~27 ms at W=1024 — more than the rows assembly itself — and the
+    LM solver is layout-agnostic except for two cheap vector reshapes
+    (solver/lm.py handles them); external consumers should use
+    evaluate_packed, which returns the standard (w, j)-major order.
+    """
+    W = R.shape[0]
+    Wp = pk.wp
+    pose = pad_poses(R, p, Wp).astype(jnp.float32)
+    with jax.default_matmul_precision("float32"):
+        csum = csum_packed_xla(pose, pk.mom, pk.cen, pk.cfix)
+        res, aux = _aux_from_csum(csum, pk, gap_eps)
+        Ht, Jt, Dt = hess_packed_hybrid(
+            pose, pk.mom, pk.cen, aux, hess_precision=hess_precision,
+            interpret=interpret)
+        iw = jnp.arange(W)
+        H = -Ht.reshape(6, Wp, 6, Wp)[:, :W, :, :W]
+        D = Dt[:W, :36].reshape(W, 6, 6)
+        # advanced indexing on axes (1, 3) batches over w first: the
+        # update operand is exactly D's (W, 6, 6) layout
+        H = H.at[:, iw, :, iw].add(D).reshape(6 * W, 6 * W)
+        J = Jt[:W, :6].T.reshape(6 * W)
+    return res, J, H

@@ -180,6 +180,7 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
 
     degenerate = jnp.min(f.planes_per_pose()) < min_planes
 
+    jw_layout = False
     if backend == "pallas":
         from ..ops import packed as packed_mod
         from ..ops import pallas_evaluate as pe
@@ -188,7 +189,22 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
         hp = {"highest": None, "high": jax.lax.Precision.HIGH,
               "bf16": jax.lax.Precision.DEFAULT}[hess_precision]
 
-        if chunk_planes > 0:
+        jw_layout = (packed_impl == "hybrid" and edges is None
+                     and chunk_planes == 0)
+        if jw_layout:
+            # the hybrid backend's natural H layout is (j, w)-major;
+            # consuming it directly saves the (6, Wp, 6, Wp) transpose
+            # (~27 ms at W=1024 — more than the rows assembly).  Only
+            # dx's per-pose reshape is layout-dependent (handled below).
+            def eval_full_planes(R, p):
+                return pe.evaluate_packed_jw(
+                    R, p, pkf, interpret=pallas_interpret,
+                    hess_precision=hp)
+
+            def eval_res_planes(R, p):
+                return pe.residual_only_packed(
+                    R, p, pkf, interpret=pallas_interpret)
+        elif chunk_planes > 0:
             # factor-chunked dense evaluate: scan over plane chunks so
             # the compiled body stays under the W=2048 one-program
             # VMEM/compile ceiling (pe.evaluate_packed_chunked)
@@ -226,6 +242,7 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                 T, f, centered=centered, use_lapack_eigh=use_lapack_eigh
             )
 
+    jw = jw_layout
     if edges is None:
         eval_full, eval_res = eval_full_planes, eval_res_planes
     else:
@@ -302,10 +319,11 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
         else:
             dx = jnp.linalg.solve(A, -J)
 
+        dxw = (dx.reshape(6, W).T if jw else dx.reshape(W, 6))
         if update == "right":
-            Rt, pt = lie.se3_right_update(c.R, c.p, dx.reshape(W, 6))
+            Rt, pt = lie.se3_right_update(c.R, c.p, dxw)
         else:
-            Rt, pt = lie.se3_left_update(c.R, c.p, dx.reshape(W, 6))
+            Rt, pt = lie.se3_left_update(c.R, c.p, dxw)
         q1 = 0.5 * jnp.dot(dx, c.u * D * dx - J)
         res2 = eval_res(Rt, pt)
 
