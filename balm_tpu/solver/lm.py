@@ -115,10 +115,14 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
     if edges is not None and update != "left":
         raise ValueError("pose-graph edges require the left update")
     if packed_impl == "auto":
-        # 'hybrid' (Pallas rows + XLA dot) wins 1.07-1.6x on real TPU at
-        # every measured scale (artifacts/ab_rows_hybrid.json); on CPU
-        # the interpreted kernel would crawl -> pure XLA there
-        packed_impl = ("hybrid" if jax.default_backend() == "tpu"
+        # 'hybrid' (Pallas rows + XLA dot, consumed in its natural
+        # (j,w)-major layout) wins 1.4-1.8x on real TPU once the window
+        # is large enough for the rows assembly to matter (W >= ~256,
+        # artifacts/mfu_hybrid_jw.json); at W=177 it ties xla (16.8 vs
+        # 16.0 ms/solve), and on CPU the interpreted kernel would crawl
+        packed_impl = ("hybrid"
+                       if (jax.default_backend() == "tpu"
+                           and int(R.shape[0]) >= 256)
                        else "xla")
     if backend in ("pallas", "packed"):
         backend = "pallas"
