@@ -1125,24 +1125,24 @@ def residual_only_packed_chunked(R, p, pk: PackedFactors, *,
 
 def _rows_only_kernel(pose_ref, mom_ref, cen_ref, aux_ref,
                       r0_ref, r1_ref, r2_ref, j_ref, d_ref):
-    i = pl.program_id(0)
-    Wp = mom_ref.shape[0]
+    ig = pl.program_id(0)
     rows, jv, D = _rows_channels_xla(
         pose_ref[...], mom_ref[...], cen_ref[...], aux_ref[...])
     for k, rref in enumerate((r0_ref, r1_ref, r2_ref)):
-        # j-major contiguous writes (an in-VMEM (w, j) interleave was
-        # tried and costs MORE than the downstream transpose it saves:
-        # 117 vs 99 ms evaluate at W=1024); the solver consumes the
-        # (j, w)-major H directly via evaluate_packed_jw
+        # output is (6, Wp, Gp): j-major after a layout-free reshape to
+        # (6Wp, Gp).  (An in-VMEM (w, j) interleave was tried and costs
+        # MORE than the downstream transpose it saves: 117 vs 99 ms
+        # evaluate at W=1024; the solver instead consumes the
+        # (j, w)-major H directly via evaluate_packed_jw.)
         for j in range(6):
-            rref[pl.ds(j * Wp, Wp), :] = rows[j][k]
+            rref[j, :, :] = rows[j][k]
     jsum = jnp.concatenate(
         [jnp.sum(jv[j], axis=1, keepdims=True) for j in range(6)], axis=1)
     dsum = jnp.concatenate(
         [jnp.sum(D[a][b], axis=1, keepdims=True)
          for a in range(6) for b in range(6)], axis=1)
 
-    @pl.when(i == 0)
+    @pl.when(ig == 0)
     def _():
         j_ref[...] = jnp.zeros_like(j_ref)
         d_ref[...] = jnp.zeros_like(d_ref)
@@ -1151,50 +1151,52 @@ def _rows_only_kernel(pose_ref, mom_ref, cen_ref, aux_ref,
     d_ref[:, 0:36] += dsum
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "bg"))
+@functools.partial(jax.jit, static_argnames=("interpret", "bg", "bw"))
 def rows_packed_pallas(pose, mom, cen, aux, *, interpret: bool = False,
-                       bg: int = 0):
-    """Rank-row operands (3 x (6Wp, Gp), j-major) + J + D via ONE Pallas
-    kernel — no XLA channel materialization.  The matmul stays on XLA's
-    dot (hess_packed_hybrid): the fully-fused kernels' dots lose to
-    XLA's at W >= 512 while their VPU assembly is cheap, so the hybrid
-    takes each side's winner."""
+                      bg: int = 0, bw: int = 0):
+    """Rank-row operands (3 x (6, Wp, Gp), j-major after reshape) + J +
+    D via ONE Pallas kernel — no XLA channel materialization.  The
+    matmul stays on XLA's dot (hess_packed_hybrid): the fully-fused
+    kernels' dots lose to XLA's at W >= 512 while their VPU assembly is
+    cheap, so the hybrid takes each side's winner.  The 2-D grid blocks
+    BOTH axes (the channel temps are ~100 x (bw, bg) floats in VMEM),
+    so the kernel compiles at any Wp — including past the one-program
+    XLA evaluate's superlinear-temp ceiling."""
     Wp, _, Gp = mom.shape
     if bg == 0:
-        bg = BG_HESS       # measured: larger tiles fail Mosaic compile
-                           # while 128 compiles and is already ~3x the
-                           # XLA rows-assembly speed
-    assert Gp % bg == 0 and Wp % 8 == 0
-    n6 = 6 * Wp
+        bg = BG_HESS       # lane rule: bg must be a multiple of 128
+    if bw == 0:
+        bw = min(Wp, 512)  # keeps the ~100 channel temps under ~30 MB
+    assert Gp % bg == 0 and Wp % bw == 0 and bw % 8 == 0
     return pl.pallas_call(
         _rows_only_kernel,
-        grid=(Gp // bg,),
+        grid=(Gp // bg, Wp // bw),
         in_specs=[
-            pl.BlockSpec((Wp, 12), lambda i: (0, 0),
+            pl.BlockSpec((bw, 12), lambda ig, iw: (iw, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Wp, 10, bg), lambda i: (0, 0, i),
+            pl.BlockSpec((bw, 10, bg), lambda ig, iw: (iw, 0, ig),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, bg), lambda i: (0, i),
+            pl.BlockSpec((3, bg), lambda ig, iw: (0, ig),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((AUX_CH, bg), lambda i: (0, i),
+            pl.BlockSpec((AUX_CH, bg), lambda ig, iw: (0, ig),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((n6, bg), lambda i: (0, i),
+            pl.BlockSpec((6, bw, bg), lambda ig, iw: (0, iw, ig),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n6, bg), lambda i: (0, i),
+            pl.BlockSpec((6, bw, bg), lambda ig, iw: (0, iw, ig),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n6, bg), lambda i: (0, i),
+            pl.BlockSpec((6, bw, bg), lambda ig, iw: (0, iw, ig),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Wp, LANES), lambda i: (0, 0),
+            pl.BlockSpec((bw, LANES), lambda ig, iw: (iw, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Wp, LANES), lambda i: (0, 0),
+            pl.BlockSpec((bw, LANES), lambda ig, iw: (iw, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n6, Gp), jnp.float32),
-            jax.ShapeDtypeStruct((n6, Gp), jnp.float32),
-            jax.ShapeDtypeStruct((n6, Gp), jnp.float32),
+            jax.ShapeDtypeStruct((6, Wp, Gp), jnp.float32),
+            jax.ShapeDtypeStruct((6, Wp, Gp), jnp.float32),
+            jax.ShapeDtypeStruct((6, Wp, Gp), jnp.float32),
             jax.ShapeDtypeStruct((Wp, LANES), jnp.float32),
             jax.ShapeDtypeStruct((Wp, LANES), jnp.float32),
         ],
@@ -1210,11 +1212,15 @@ def hess_packed_hybrid(pose, mom, cen, aux, *, hess_precision=None,
     D (Wp, 36)): Pallas rows + XLA dot."""
     r0, r1, r2, Jt, Dt = rows_packed_pallas(pose, mom, cen, aux,
                                             interpret=interpret)
+    Wp = pose.shape[0]
+    Gp = mom.shape[2]
     kw = (_DOT_KW if hess_precision is None
           else {**_DOT_KW, "precision": hess_precision})
-    H = lax.dot_general(r0, r0, **kw)
-    H = H + lax.dot_general(r1, r1, **kw)
-    H = H + lax.dot_general(r2, r2, **kw)
+    H = None
+    for rk in (r0, r1, r2):
+        M = rk.reshape(6 * Wp, Gp)      # layout-free (j-major)
+        Hk = lax.dot_general(M, M, **kw)
+        H = Hk if H is None else H + Hk
     return H, Jt[:, :6], Dt[:, :36]
 
 
