@@ -269,7 +269,15 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
             lambda: (c.res1, c.J, c.H),
         )
         D = jnp.diag(H)
-        A = H + c.u * jnp.diag(D)
+        # damp with |D| clamped away from zero: the EXACT Newton H can
+        # carry negative diagonal entries near-degenerate clusters (the
+        # eigen-gap terms), and H + u*diag(D) with D_i < 0 never becomes
+        # positive definite no matter how far LM raises u — the solve
+        # then rejects forever (seen on the W=1536 corridor: diag min
+        # -1.1e5).  For the normal D > 0 case this is bit-identical to
+        # the reference's schedule (bavoxel.hpp:1113).
+        Dd = jnp.maximum(jnp.abs(D), 1e-12)
+        A = H + c.u * jnp.diag(Dd)
         if linear_solver == "cholesky_nofallback":
             # the pivoted-LU fallback's LuDecompositionBlock custom call
             # needs ~18 MB scoped VMEM at 6W = 12288 and stops compiling
@@ -328,7 +336,7 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
             Rt, pt = lie.se3_right_update(c.R, c.p, dxw)
         else:
             Rt, pt = lie.se3_left_update(c.R, c.p, dxw)
-        q1 = 0.5 * jnp.dot(dx, c.u * D * dx - J)
+        q1 = 0.5 * jnp.dot(dx, c.u * Dd * dx - J)
         res2 = eval_res(Rt, pt)
 
         q = res1 - res2

@@ -129,7 +129,7 @@ def flat_tpu(scans, R0, p0, vcfg, W, chunk_planes=0):
         return lm.damping_iter(
             Rin, pj, fr, scfg, centered=True, backend="packed",
             chunk_planes=chunk_planes,
-            linear_solver=("cholesky_nofallback" if W > 1024
+            linear_solver=("cholesky_nofallback" if W > 1536
                            else "cholesky"))
 
     res = run(Rj)
@@ -193,7 +193,7 @@ def main(W=1024):
     vres_h = grid.voxelize(scans, Rh, ph, vcfg, dtype=np.float64)
     fr_h = Fmod.recenter_bodies(vres_h.factors).astype(jnp.float32)
     fr_h = jax.tree_util.tree_map(jnp.asarray, fr_h)
-    if W <= 1024:
+    if W <= 1536:
         pres = lm.damping_iter(
             jnp.asarray(Rh, jnp.float32), jnp.asarray(ph, jnp.float32),
             fr_h, SolverConfig(max_iters=25, u_init=0.01,
@@ -233,7 +233,7 @@ def main(W=1024):
     print("hier:", out["hier"], flush=True)
 
     # ---- flat (dense packed solve) ----
-    if W <= 1024:
+    if W <= 1536:
         Rf, pf, flat, vres = flat_tpu(scans, R0, p0, vcfg, W)
         flat["rsme"] = rsme(Rf, pf, R_gt, p_gt)
         flat["rpe10"] = rpe(Rf, pf, R_gt, p_gt)
