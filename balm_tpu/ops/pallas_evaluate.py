@@ -1166,7 +1166,12 @@ def rows_packed_pallas(pose, mom, cen, aux, *, interpret: bool = False,
     if bg == 0:
         bg = BG_HESS       # lane rule: bg must be a multiple of 128
     if bw == 0:
-        bw = min(Wp, 512)  # keeps the ~100 channel temps under ~30 MB
+        # largest multiple-of-8 DIVISOR of Wp up to 512 (the ~100
+        # channel temps stay under ~30 MB).  Wp is only guaranteed to
+        # be a multiple of 8 (WPAD), so min(Wp, 512) is not always a
+        # divisor — e.g. Wp=520 (advisor round-4 high finding).
+        bw = Wp if Wp <= 512 else next(
+            d for d in range(512, 7, -8) if Wp % d == 0)
     assert Gp % bg == 0 and Wp % bw == 0 and bw % 8 == 0
     return pl.pallas_call(
         _rows_only_kernel,

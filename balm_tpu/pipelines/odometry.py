@@ -818,6 +818,11 @@ def run(scans: List[np.ndarray], cfg: OdometryConfig = OdometryConfig(),
                 ba_pending = _ba_join_apply(ba_pending, i)
                 ba_pending = _ba_launch(idx)
             else:
+                # land any in-flight detached solve FIRST: the final
+                # _ba_join_apply below would otherwise overwrite this
+                # sync solve's refined poses with a stale result
+                # computed from pre-correction state (advisor round-4)
+                ba_pending = _ba_join_apply(ba_pending, i)
                 job = _ba_solve([scans[j] for j in idx],
                                 R[idx].copy(), p[idx].copy())
                 _ba_apply(idx, job, i)

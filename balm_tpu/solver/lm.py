@@ -194,7 +194,12 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
               "bf16": jax.lax.Precision.DEFAULT}[hess_precision]
 
         jw_layout = (packed_impl == "hybrid" and edges is None
-                     and chunk_planes == 0)
+                     and chunk_planes == 0
+                     # the pcg branch's block-Jacobi extraction
+                     # (_blocks6) assumes (w,j)-major; in (j,w)-major
+                     # the "pose blocks" would be scrambled cross-pose
+                     # entries (advisor round-4 finding)
+                     and linear_solver != "pcg")
         if jw_layout:
             # the hybrid backend's natural H layout is (j, w)-major;
             # consuming it directly saves the (6, Wp, 6, Wp) transpose
@@ -269,15 +274,29 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
             lambda: (c.res1, c.J, c.H),
         )
         D = jnp.diag(H)
-        # damp with |D| clamped away from zero: the EXACT Newton H can
-        # carry negative diagonal entries near-degenerate clusters (the
+        # Damping scale: FLOOR, don't reflect.  The EXACT Newton H can
+        # carry negative diagonal entries near degenerate clusters (the
         # eigen-gap terms), and H + u*diag(D) with D_i < 0 never becomes
         # positive definite no matter how far LM raises u — the solve
         # then rejects forever (seen on the W=1536 corridor: diag min
-        # -1.1e5).  For the normal D > 0 case this is bit-identical to
-        # the reference's schedule (bavoxel.hpp:1113).
-        Dd = jnp.maximum(jnp.abs(D), 1e-12)
+        # -1.1e5).  Replacing only the non-positive entries with the
+        # largest-|diag| scale keeps the D > 0 case bit-identical to the
+        # reference's schedule (bavoxel.hpp:1113) while making A
+        # diagonally dominant (hence eventually PD) after O(1) damping
+        # doublings on indefinite problems.  round-4's max(|D|, eps)
+        # reflected negative entries instead and changed behavior on
+        # every indefinite-diagonal problem (it broke coarse-to-fine
+        # recovery); see tests/test_solver.py negative-diag tests.
+        tau = 2.0 * jnp.maximum(-jnp.min(D), 0.0)
+        Dd = D + tau
         A = H + c.u * jnp.diag(Dd)
+        # solve_ok: False when the linear solve produced no usable step
+        # (failed Cholesky in the nofallback path, non-finite PCG).  A
+        # zero step makes res2 == res1 and the rel-tol test would then
+        # DECLARE CONVERGENCE on a solve that never happened — the
+        # actual mechanism of the round-4 W=1536 "stall".  The stop
+        # test below requires solve_ok so LM re-damps instead.
+        solve_ok = jnp.asarray(True)
         if linear_solver == "cholesky_nofallback":
             # the pivoted-LU fallback's LuDecompositionBlock custom call
             # needs ~18 MB scoped VMEM at 6W = 12288 and stops compiling
@@ -288,8 +307,8 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
             # loop's own recovery mechanism (one wasted iteration).
             L = jax.scipy.linalg.cho_factor(A, lower=True)
             dx_c = jax.scipy.linalg.cho_solve(L, -J)
-            dx = jnp.where(jnp.all(jnp.isfinite(dx_c)), dx_c,
-                           jnp.zeros_like(dx_c))
+            solve_ok = jnp.all(jnp.isfinite(dx_c))
+            dx = jnp.where(solve_ok, dx_c, jnp.zeros_like(dx_c))
         elif linear_solver == "cholesky":
             # Cholesky is much faster than LU on TPU (no pivoting), but the
             # exact Newton H + uD can be indefinite far from the optimum
@@ -326,8 +345,8 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
             dx_c, _ = _large._pcg(lambda v: A @ v, -J, Minv,
                                   pcg_iters if pcg_iters > 0
                                   else min(6 * W, 400), pcg_tol)
-            dx = jnp.where(jnp.all(jnp.isfinite(dx_c)), dx_c,
-                           jnp.zeros_like(dx_c))
+            solve_ok = jnp.all(jnp.isfinite(dx_c))
+            dx = jnp.where(solve_ok, dx_c, jnp.zeros_like(dx_c))
         else:
             dx = jnp.linalg.solve(A, -J)
 
@@ -360,6 +379,7 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
         stop = rel < rel_tol
         if abs_tol > 0:
             stop = stop | (jnp.abs(res1 - res2) < abs_tol)
+        stop = stop & solve_ok
 
         i = c.it
         return _Carry(

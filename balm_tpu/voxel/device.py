@@ -236,6 +236,11 @@ def _voxelize_core(
     if pair_cap is None:
         pair_cap = int(min(Gcap * W, max(32 * Gcap, 1 << 16)))
     S = max((W - 1).bit_length(), 1)             # scan bits in the key
+    # lo bit budget: root_z contributes exactly 15 bits at EVERY L (the
+    # extent limit on fine z is 2^(15+L), so qroot_z = qrel_z >> L < 2^15
+    # — see `lim` below), plus 3L octant bits, plus S scan bits; 31 keeps
+    # the i32 non-negative.  (Round-4 advisor suggested 16-L root bits;
+    # the L-scaled extent limit is what makes the root width constant.)
     if 15 + 3 * L + S > 31:
         raise ValueError(
             f"W={W} scans need {S} key bits; at layer_limit={L} the "
@@ -380,10 +385,14 @@ def _voxelize_core(
         cap_overflow |= n_p > cap_l
         seg_p = jnp.where(real_c, jnp.minimum(seg_p, cap_l - 1), cap_l)
 
-        # shift child moments from child-cell-local to parent-cell-local
+        # shift child moments from child-cell-local to parent-cell-local.
+        # EXACT integer-delta form: qabs_c - 2*qp is 0 or 1 per axis, so
+        # d = sz_c * ((qabs_c - 2 qp) - 1/2) carries no |world-center|-
+        # scale rounding (the absolute-center difference form loses
+        # ~|center| * eps_f32 per axis at km-scale extents — advisor
+        # round-4 finding)
         sz_c = voxel_size / (1 << (l + 1))
-        d = ((qabs_c.astype(dtype) + 0.5) * sz_c
-             - (qp.astype(dtype) + 0.5) * (2.0 * sz_c))        # (cap_c, 3)
+        d = ((qabs_c - 2 * qp).astype(dtype) - 0.5) * sz_c     # (cap_c, 3)
         Ms = _paxis_shift(M_c, d)
         M_p = segments.sorted_segment_sum(Ms, seg_p, num_segments=cap_l)
         qabs_p = segments.segment_first(qp, seg_p, num_segments=cap_l)
@@ -494,6 +503,7 @@ def _voxelize_core(
         (key_e, jnp.arange(cs_cap, dtype=jnp.int32)), num_keys=1)
     Mw = M_cs[operm]
     cw = center_tab[operm]
+    qa_e = qabs_tab[operm]                                  # exact int cells
     live_e = key_e < GW
     new_e = jnp.ones(cs_cap, bool).at[1:].set(
         key_e[1:] != key_e[:-1]) & live_e
@@ -514,8 +524,16 @@ def _voxelize_core(
     first_p = jnp.where(have_p, bounds_e[0], 0)
     cw_tgt = jnp.where(have_p[:, None], cw[first_p], 0.0)   # (pairs, 3)
     pairkey = jnp.where(have_p, key_e[first_p], GW)
-    d_w = jnp.where(live_e[:, None],
-                    cw - cw_tgt[jnp.minimum(seg_e, pair_cap - 1)], 0.0)
+    # EXACT integer-cell-coordinate deltas (as the module docstring
+    # promises): fine * (qabs - qabs_tgt) — the absolute-center
+    # difference (cw - cw_tgt) would carry ~|center| * eps_f32 rounding
+    # per axis into the shifted moments at km-scale extents for
+    # non-power-of-two voxel sizes (advisor round-4 finding)
+    qa_tgt = jnp.where(have_p[:, None], qa_e[first_p], 0)
+    d_w = jnp.where(
+        live_e[:, None],
+        (qa_e - qa_tgt[jnp.minimum(seg_e, pair_cap - 1)]).astype(dtype)
+        * fine, 0.0)
     Mp = segments.sorted_segment_sum(
         _paxis_shift(Mw, d_w) * live_e[:, None].astype(dtype),
         seg_e, num_segments=pair_cap, bounds=bounds_e)      # (pairs, 10)

@@ -297,3 +297,32 @@ def test_hybrid_impl_matches_xla():
         jnp.max(jnp.abs(J0)) + 1e-30)
     assert float(jnp.max(jnp.abs(H0 - H1))) < 1e-4 * float(
         jnp.max(jnp.abs(H0)))
+
+
+def test_hybrid_non_multiple_bw_window():
+    """Wp above 512 and NOT a multiple of 512 (e.g. W=520 -> Wp=520)
+    must pick a bw that divides Wp instead of tripping the block-shape
+    assert (advisor round-4 high finding: packed_impl='auto' selects
+    'hybrid' on TPU for every W >= 256, so any such window crashed at
+    trace time)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    W, G = 520, 4
+    C = jnp.zeros((128, W, 4, 4)).at[:G, :, 3, 3].set(5.0)
+    C = C.at[:G, :, 0, 0].set(1.0).at[:G, :, 1, 1].set(1.0)
+    f = factors.PlaneFactors.create(C.astype(jnp.float32))
+    fr = factors.recenter_bodies(f)
+    pkf = pk.pack_factors(fr)
+    assert pkf.wp > 512 and pkf.wp % 512 != 0
+    R = jnp.tile(jnp.eye(3, dtype=jnp.float32), (W, 1, 1))
+    p = jnp.asarray(rng.normal(size=(W, 3)) * 0.01, jnp.float32)
+    import jax
+    with jax.default_matmul_precision("float32"):
+        r0, J0, H0 = pe.evaluate_packed(R, p, pkf, interpret=True,
+                                        impl="xla")
+        r1, J1, H1 = pe.evaluate_packed(R, p, pkf, interpret=True,
+                                        impl="hybrid")
+    assert abs(float(r0) - float(r1)) < 1e-5 * (abs(float(r0)) + 1e-30)
+    assert float(jnp.max(jnp.abs(H0 - H1))) < 1e-4 * float(
+        jnp.max(jnp.abs(H0)) + 1e-30)

@@ -139,3 +139,88 @@ def test_resumable_chunks_match_full_solve(tmp_path):
     n = int(ref.iters)
     np.testing.assert_array_equal(
         np.asarray(res.trace_res1)[:n], np.asarray(ref.trace_res1)[:n])
+
+
+def test_negative_diag_accepts_steps_nofallback():
+    """Negative-diagonal stall oracle (round-4 regression, W=1536-class).
+
+    Far from the optimum with near-degenerate coarse clusters the EXACT
+    Newton H carries negative diagonal entries.  With
+    linear_solver='cholesky_nofallback' (the large-W production choice:
+    the LU branch stops compiling at 6W=12288) a failed factorization
+    yields a zero step -> reject -> u *= v.  Under the raw reference
+    damping (H + uD, D_i < 0) that NEVER becomes PD and LM rejects
+    forever; the tau-shift damping (lm.py body) must make A eventually
+    PD so steps get accepted and the cost drops.
+    """
+    import jax.numpy as jnp
+
+    from balm_tpu.ops import factors as F
+    from balm_tpu.ops import lie
+    from balm_tpu.solver import lm
+    from balm_tpu.voxel import grid
+    from balm_tpu.config import VoxelConfig
+    from tests.test_voxelize import make_scene
+    from tests.test_coarse_to_fine import big_perturb
+
+    R_gt, p_gt, scans = make_scene(seed=7, W=6, n_planes=10, pts_per=300,
+                                   extent=6.0)
+    R0, p0 = big_perturb(R_gt, p_gt, seed=8)
+    vres = grid.voxelize(scans, R0, p0,
+                         VoxelConfig(voxel_size=4.0,
+                                     eigen_ratio=(1 / 6, 1 / 6, 1 / 6)),
+                         dtype=np.float64)
+    f = F.PlaneFactors(*[jnp.asarray(x) for x in vres.factors])
+    T = lie.pose_matrix(jnp.asarray(R0), jnp.asarray(p0))
+    _, _, H = F.evaluate(T, f)
+    D = np.diag(np.asarray(H))
+    # the scenario must actually exercise the indefinite-diagonal branch
+    assert D.min() < 0, "scene no longer produces a negative Hessian diag"
+
+    cfg = SolverConfig(max_iters=30, u_init=0.1, min_planes_per_pose=1)
+    res = lm.damping_iter(jnp.asarray(R0), jnp.asarray(p0), f, cfg,
+                          linear_solver="cholesky_nofallback")
+    acc = np.asarray(res.trace_accept)[: int(res.iters)]
+    assert np.nansum(acc) >= 3            # steps DO get accepted
+    assert float(res.residual) < 0.5 * float(res.trace_res1[0])
+
+
+def test_positive_diag_damping_matches_reference_semantics():
+    """For an all-positive Hessian diagonal the tau-shift is exactly zero:
+    the damping schedule is bit-identical to the reference's H + u*diag(H)
+    (bavoxel.hpp:1113).  Pinned by comparing against a manual first step."""
+    import jax
+    import jax.numpy as jnp
+
+    from balm_tpu.ops import factors as F
+    from balm_tpu.ops import lie
+    from balm_tpu.solver import lm
+    from balm_tpu.pipelines import virtual
+
+    cfg = virtual.VirtualConfig(win_size=6, surf_size=10, pts_size=30, seed=2)
+    R_gt, p_gt, body_points = virtual.generate(cfg)
+    R0, p0 = virtual.perturb(R_gt, p_gt, cfg)
+    f = virtual.build_factors(body_points, jnp.float64)
+    R0 = jnp.asarray(R0)
+    p0 = jnp.asarray(p0)
+    T = lie.pose_matrix(R0, p0)
+    res1, J, H = F.evaluate(T, f)
+    D = jnp.diag(H)
+    assert float(jnp.min(D)) > 0
+    for u in (0.01, 0.1, 1.0, 10.0, 100.0):
+        A = H + u * jnp.diag(D)      # raw reference damping, no clamp
+        dx = jnp.linalg.solve(A, -J)
+        Rt, pt = lie.se3_left_update(R0, p0, dx.reshape(-1, 6))
+        res2 = F.residual_only(lie.pose_matrix(Rt, pt), f)
+        if float(res2) < float(res1):
+            break
+    assert float(res2) < float(res1)  # the manual step is accepted
+
+    scfg = SolverConfig(max_iters=1, u_init=u, min_planes_per_pose=1,
+                        gauge_fix=False)
+    out = lm.damping_iter(R0, p0, f, scfg, linear_solver="lu")
+    # the solver's single step must equal the manual reference step
+    np.testing.assert_allclose(np.asarray(out.R), np.asarray(Rt),
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(pt),
+                               rtol=0, atol=1e-9)
