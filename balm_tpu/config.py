@@ -50,6 +50,17 @@ class SolverConfig:
     v_init: float = 2.0
     rel_tol: float = 1e-6         # |res1-res2|/res1 (bavoxel.hpp:1155)
     abs_tol: float = 0.0          # consistency uses |res1-res2| < 1e-9
+    # f32-aware stop floor: also stop when |res1-res2| drops below
+    # ulp_tol * eps(dtype) * res1 — i.e. the trial delta is within a few
+    # ULPs of the cost and further iterations only chase reduction-order
+    # dither.  In f64 (eps ~ 2e-16) the floor sits ~9 orders below the
+    # reference's tolerances and never binds; in f32 it is what
+    # terminates solves whose residual dither straddles abs_tol (the
+    # round-4 consistency seeds that burned the 1000-iteration cap).
+    # 128 covers the measured systematic offset between the full and
+    # residual-only evaluators' reduction orders (~56 ULP on the
+    # consistency problem) with margin; 0 disables.
+    ulp_tol: float = 128.0
     # Every pose must observe at least this many planes, else the problem is
     # declared degenerate (reference bavoxel.hpp:1071-1085 exits; we return a
     # status instead).

@@ -345,9 +345,11 @@ def hess_diag(parts: HessParts, W: int):
     return -s + jnp.diagonal(parts.D, axis1=-2, axis2=-1)
 
 
-def block_jacobi(parts: HessParts, W: int, damp):
-    """The W (6, 6) diagonal blocks of H + damp * diag(diag(H)) — the
-    preconditioner for the Krylov solve."""
+def block_jacobi(parts: HessParts, W: int, damp, Dd=None):
+    """The W (6, 6) diagonal blocks of H + damp * diag(Dd) — the
+    preconditioner for the Krylov solve.  Dd (W, 6) is the (possibly
+    tau-shifted, solver/large.py) damping scale; None uses diag(H)
+    (the raw reference schedule, bavoxel.hpp:1113)."""
     G, _, S, _ = parts.rows.shape
     outer = jnp.einsum("gtsi,gtsj->gsij", parts.rows, parts.rows)
     idx = jnp.clip(
@@ -356,5 +358,41 @@ def block_jacobi(parts: HessParts, W: int, damp):
     blocks = jax.ops.segment_sum(
         outer.reshape(G * S, 6, 6), idx.reshape(-1), num_segments=W)
     A = -blocks + parts.D
-    dd = jnp.diagonal(A, axis1=-2, axis2=-1)
+    dd = (jnp.diagonal(A, axis1=-2, axis2=-1) if Dd is None else Dd)
     return A + damp * dd[..., None] * jnp.eye(6, dtype=A.dtype)
+
+
+def band_hessian(parts: HessParts, W: int):
+    """Assemble the EXACT block-band of H as Hband (W, S, 6, 6) with
+    Hband[w, d] = H[6w:6w+6, 6(w+d):6(w+d)+6] for d in [0, S).
+
+    Every factor observes a CONTIGUOUS pose stretch of length <= S, so
+    H = -R^T R + blockdiag(D) is block-banded with half-bandwidth S-1 —
+    the band IS the whole matrix.  This is what the reference's dense
+    LDLT (bavoxel.hpp:1113-1114) can never exploit; here it feeds the
+    block-tridiagonal direct solver (solver/banded.py) whose cost is
+    linear in W.
+
+    O(G S^2) flops, O(G S + W S) memory; runs as a lax.scan over the S
+    diagonal offsets.
+    """
+    G, _, S, _ = parts.rows.shape
+    rows = parts.rows
+    idx = jnp.clip(
+        parts.base[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :],
+        0, W - 1)
+    idx_flat = idx.reshape(-1)
+    slot = jnp.arange(S)
+
+    def off(_, d):
+        # rows slot s pairs with slot s+d (zero past the span end)
+        sh = jnp.roll(rows, -d, axis=2) * (
+            slot < S - d)[None, None, :, None].astype(rows.dtype)
+        A = jnp.einsum("gtsi,gtsj->gsij", rows, sh)          # (G, S, 6, 6)
+        out = jax.ops.segment_sum(
+            A.reshape(G * S, 6, 6), idx_flat, num_segments=W)
+        return 0, out
+
+    _, band = jax.lax.scan(off, 0, jnp.arange(S, dtype=jnp.int32))
+    band = -jnp.moveaxis(band, 0, 1)                         # (W, S, 6, 6)
+    return band.at[:, 0].add(parts.D)

@@ -184,18 +184,27 @@ def _pose_sharded_ops(wf_loc: FW.WindowedFactors, Wb: int, n: int) -> L.LMOps:
         out = fold(hv) + jnp.einsum("wij,wj->wi", D, v2)
         return (out + u * diagH.reshape(Wb, 6) * v2).reshape(-1)
 
-    def precond(state, u):
+    def precond(state, u, Dd):
         parts, _ = state
-        return fold(FW.block_jacobi(parts, We, u))
+        # the damped term is per-pose local: add it AFTER the fold so
+        # halo rows are not double-damped
+        A = fold(FW.block_jacobi(parts, We, 0.0))
+        return A + u * Dd.reshape(Wb, 6)[..., None] * jnp.eye(
+            6, dtype=A.dtype)
 
     def dot(a, b):
         return psum(jnp.vdot(a, b))
+
+    def reduce_min(x):
+        m = jnp.min(x)
+        return lax.pmin(m, POSE_AXIS) if n > 1 else m
 
     def update(Rl, pl, dx):
         return lie.se3_left_update(Rl, pl, dx.reshape(Wb, 6))
 
     return L.LMOps(evaluate=evaluate, residual=residual, matvec=matvec,
-                   precond=precond, dot=dot, update=update)
+                   precond=precond, dot=dot, update=update,
+                   reduce_min=reduce_min)
 
 
 def damping_iter_pose_sharded(

@@ -36,6 +36,7 @@ from ..config import SolverConfig
 from ..ops import factors_windowed as FW
 from ..ops import lie
 from ..ops import smallmat
+from . import banded as _banded
 
 
 class LMOps(NamedTuple):
@@ -50,10 +51,17 @@ class LMOps(NamedTuple):
 
     evaluate: (R, p) -> (res, J_flat, diagH_flat, parts)
     residual: (R, p) -> scalar trial cost
-    matvec:   (parts, diagH_flat, u, v_flat) -> (H + u diag(H)) v, flat
-    precond:  (parts, u) -> (n_local, 6, 6) block-Jacobi blocks
+    matvec:   (parts, Dd_flat, u, v_flat) -> (H + u diag(Dd)) v, flat
+    precond:  (parts, u, Dd_flat) -> (n_local, 6, 6) block-Jacobi blocks
     dot:      global inner product (psum'd when sharded)
     update:   (R, p, dx_flat) -> trial poses (left perturbation)
+    reduce_min: global min of a local flat array (None -> jnp.min);
+              psum-style pmin when pose-sharded so the tau-shift damping
+              is replicated-consistent.
+    direct:   optional EXACT direct solve (parts, Dd_flat, u, J_flat)
+              -> (dx_flat, ok) — the block-tridiagonal banded Cholesky
+              (solver/banded.py) on single-device engines; selected by
+              linear_solver='banded'.
     """
 
     evaluate: Callable[..., Any]
@@ -62,6 +70,8 @@ class LMOps(NamedTuple):
     precond: Callable[..., Any]
     dot: Callable[..., Any]
     update: Callable[..., Any]
+    reduce_min: Any = None
+    direct: Any = None
 
 
 class LargeLMResult(NamedTuple):
@@ -142,8 +152,10 @@ def _pcg(matvec, b, Minv, max_iters, tol, dot=jnp.vdot):
     return x, k
 
 
-def windowed_ops(wf: FW.WindowedFactors, W: int) -> LMOps:
+def windowed_ops(wf: FW.WindowedFactors, W: int,
+                 supernode: int | None = None) -> LMOps:
     """Single-device (or GSPMD plane-sharded) engine over WindowedFactors."""
+    B = max(int(wf.span), 1) if supernode is None else int(supernode)
 
     def evaluate(R, p):
         parts = FW.evaluate_windowed(R, p, wf)
@@ -153,39 +165,53 @@ def windowed_ops(wf: FW.WindowedFactors, W: int) -> LMOps:
     def residual(R, p):
         return FW.residual_only_windowed(R, p, wf)
 
-    def matvec(parts, diagH, u, v):
+    def matvec(parts, Dd, u, v):
         v2 = v.reshape(W, 6)
-        out = FW.hvp(parts, v2, W) + u * diagH.reshape(W, 6) * v2
+        out = FW.hvp(parts, v2, W) + u * Dd.reshape(W, 6) * v2
         return out.reshape(-1)
 
-    def precond(parts, u):
-        return FW.block_jacobi(parts, W, u)
+    def precond(parts, u, Dd):
+        return FW.block_jacobi(parts, W, u, Dd=Dd.reshape(W, 6))
 
     def update(R, p, dx):
         return lie.se3_left_update(R, p, dx.reshape(-1, 6))
 
+    def direct(parts, Dd, u, J):
+        Hband = FW.band_hessian(parts, W)
+        damp = (u * Dd.reshape(W, 6))[..., None] * jnp.eye(
+            6, dtype=Hband.dtype)
+        return _banded.solve_banded(Hband.at[:, 0].add(damp), -J, B)
+
     return LMOps(evaluate=evaluate, residual=residual, matvec=matvec,
-                 precond=precond, dot=jnp.vdot, update=update)
+                 precond=precond, dot=jnp.vdot, update=update,
+                 reduce_min=jnp.min, direct=direct)
 
 
 def damping_iter_large(R, p, wf: FW.WindowedFactors,
                        cfg: SolverConfig = SolverConfig(),
-                       *, cg_iters: int = 100, cg_tol: float = 1e-4):
+                       *, cg_iters: int = 100, cg_tol: float = 1e-4,
+                       linear_solver: str = "banded"):
     """LM loop over WindowedFactors; same schedule as solver/lm.py
-    (bavoxel.hpp:1069-1166) with the dense solve replaced by PCG."""
+    (bavoxel.hpp:1069-1166) with the dense solve replaced by the
+    block-tridiagonal banded Cholesky (linear_solver='banded', default:
+    EXACT dense-quality steps, O(W span^2) — solver/banded.py) or the
+    block-Jacobi PCG ('pcg': matrix-free, the multi-chip engine)."""
     return _damping_iter_large_jit(
         R, p, wf, cfg.max_iters, cfg.u_init, cfg.v_init, cfg.rel_tol,
-        cfg.abs_tol, cfg.gauge_fix, cg_iters, cg_tol)
+        cfg.abs_tol, cfg.gauge_fix, cg_iters, cg_tol, linear_solver,
+        getattr(cfg, "ulp_tol", 128.0))
 
 
-@functools.partial(jax.jit, static_argnums=(3, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(3, 7, 8, 9, 10, 11, 12))
 def _damping_iter_large_jit(R, p, wf, max_iters, u_init, v_init, rel_tol,
-                            abs_tol, gauge_fix, cg_iters, cg_tol):
+                            abs_tol, gauge_fix, cg_iters, cg_tol,
+                            linear_solver="pcg", ulp_tol=128.0):
     W = R.shape[0]
     ops = windowed_ops(wf, W)
     with jax.default_matmul_precision("float32"):
         c = lm_loop(ops, R, p, max_iters, u_init, v_init, rel_tol,
-                    abs_tol, cg_iters, cg_tol)
+                    abs_tol, cg_iters, cg_tol,
+                    linear_solver=linear_solver, ulp_tol=ulp_tol)
         Rf, pf = c.R, c.p
         if gauge_fix:
             Rf, pf = lie.gauge_fix(Rf, pf)
@@ -214,7 +240,8 @@ class _Carry(NamedTuple):
 
 
 def lm_loop(ops: LMOps, R, p, max_iters, u_init, v_init, rel_tol, abs_tol,
-            cg_iters, cg_tol) -> "_Carry":
+            cg_iters, cg_tol, linear_solver: str = "pcg",
+            ulp_tol: float = 128.0) -> "_Carry":
     """The damping loop over an abstract engine (see LMOps).
 
     R/p may be device-local pose blocks (pose-sharded caller) — every
@@ -228,31 +255,51 @@ def lm_loop(ops: LMOps, R, p, max_iters, u_init, v_init, rel_tol, abs_tol,
     def body(c: _Carry) -> _Carry:
         res1, J, diagH, parts = ops.evaluate(c.R, c.p)
 
+        # tau-shift damping (see solver/lm.py): the exact Newton diag
+        # can go negative near degenerate clusters, and H + u diag(H)
+        # then NEVER becomes PD -> every step fails and the loop stalls
+        # (the round-4 large-W failure mode).  A uniform shift at the
+        # scale of the most negative entry is bit-identical to the
+        # reference schedule (bavoxel.hpp:1113) for all-positive diags
+        # and makes the damped system eventually PD otherwise.  The min
+        # is a GLOBAL reduction (pmin when pose-sharded) so control flow
+        # stays replicated.
+        rmin = ops.reduce_min if ops.reduce_min is not None else jnp.min
+        tau = 2.0 * jnp.maximum(-rmin(diagH), 0.0)
+        Dd = diagH + tau
+
         def matvec(v):
-            return ops.matvec(parts, diagH, c.u, v)
+            return ops.matvec(parts, Dd, c.u, v)
 
-        Ablk = ops.precond(parts, c.u)
-        # guard: if a block is not SPD / singular (far-from-optimum exact
-        # Newton), fall back to identity preconditioning for that block.
-        # SPD check via Cholesky (NaN rows on indefinite blocks), then a
-        # precomputed explicit inverse so each CG application is unrolled
-        # FMAs, not serial triangular solves (see _inv6).
-        L = _chol6(Ablk)
-        bad = ~jnp.all(jnp.isfinite(L), axis=(-2, -1))
-        eye = jnp.eye(6, dtype=dtype)
-        Minv = _inv6(jnp.where(bad[:, None, None], eye, Ablk))
-        Minv = jnp.where(
-            jnp.all(jnp.isfinite(Minv), axis=(-2, -1))[:, None, None],
-            Minv, eye)
+        if linear_solver == "banded":
+            dx, _ok = ops.direct(parts, Dd, c.u, J)
+            k_cg = jnp.asarray(0, jnp.int32)
+        else:
+            Ablk = ops.precond(parts, c.u, Dd)
+            # guard: if a block is not SPD / singular (far-from-optimum
+            # exact Newton), fall back to identity preconditioning for
+            # that block.  SPD check via Cholesky (NaN rows on
+            # indefinite blocks), then a precomputed explicit inverse so
+            # each CG application is unrolled FMAs, not serial
+            # triangular solves (see _inv6).
+            L = _chol6(Ablk)
+            bad = ~jnp.all(jnp.isfinite(L), axis=(-2, -1))
+            eye = jnp.eye(6, dtype=dtype)
+            Minv = _inv6(jnp.where(bad[:, None, None], eye, Ablk))
+            Minv = jnp.where(
+                jnp.all(jnp.isfinite(Minv), axis=(-2, -1))[:, None, None],
+                Minv, eye)
 
-        dx, k_cg = _pcg(matvec, -J, Minv, cg_iters, cg_tol, dot=ops.dot)
+            dx, k_cg = _pcg(matvec, -J, Minv, cg_iters, cg_tol,
+                            dot=ops.dot)
         # global finiteness: a NaN/Inf anywhere poisons the dot (psum'd
         # when sharded), so every device zeroes its block together
-        dx = jnp.where(jnp.isfinite(ops.dot(dx, dx)), dx,
-                       jnp.zeros_like(dx))
+        nsq = ops.dot(dx, dx)
+        solve_ok = jnp.isfinite(nsq) & (nsq > 0)
+        dx = jnp.where(jnp.isfinite(nsq), dx, jnp.zeros_like(dx))
 
         Rt, pt = ops.update(c.R, c.p, dx)
-        q1 = 0.5 * ops.dot(dx, (c.u * diagH) * dx - J)
+        q1 = 0.5 * ops.dot(dx, (c.u * Dd) * dx - J)
         res2 = ops.residual(Rt, pt)
 
         q = res1 - res2
@@ -278,6 +325,17 @@ def lm_loop(ops: LMOps, R, p, max_iters, u_init, v_init, rel_tol, abs_tol,
         stop = rel < rel_tol
         if abs_tol > 0:
             stop = stop | (jnp.abs(res1 - res2) < abs_tol)
+        if ulp_tol > 0:
+            # f32 floor: the trial delta is reduction-order dither
+            stop = stop | (jnp.abs(res1 - res2)
+                           < ulp_tol * jnp.finfo(dtype).eps
+                           * jnp.abs(res1))
+        # a failed/zero solve must NOT read as convergence (res2 == res1
+        # -> rel == 0): re-damp instead.  J == 0 exactly (true optimum)
+        # still stops.
+        stop = stop & (solve_ok | (ops.dot(J, J) == 0))
+        # damping overflow -> numerically-zero steps forever: stop
+        stop = stop | (u_new > 1e30) | ~jnp.isfinite(u_new)
 
         i = c.it
         return _Carry(

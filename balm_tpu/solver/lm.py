@@ -138,18 +138,20 @@ def damping_iter(R, p, f: F.PlaneFactors, cfg: SolverConfig = SolverConfig(),
         cfg.min_planes_per_pose, cfg.gauge_fix, centered, use_lapack_eigh,
         update, linear_solver, backend, pallas_interpret, edges,
         pcg_iters, pcg_tol, hess_precision, packed_impl, chunk_planes,
+        getattr(cfg, "ulp_tol", 128.0),
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnums=(3, 7, 9, 10, 11, 12, 13, 14, 15, 17, 18, 19, 20, 21))
+    static_argnums=(3, 7, 9, 10, 11, 12, 13, 14, 15, 17, 18, 19, 20, 21,
+                    22))
 def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                       min_planes, gauge_fix, centered, use_lapack_eigh,
                       update, linear_solver, backend="xla",
                       pallas_interpret=False, edges=None,
                       pcg_iters=0, pcg_tol=1e-6, hess_precision="high",
-                      packed_impl="xla", chunk_planes=0):
+                      packed_impl="xla", chunk_planes=0, ulp_tol=128.0):
     # full f32 matmul precision for EVERYTHING in the loop: on TPU the
     # default runs matmuls (pose composition, triangular solves) in bf16,
     # which silently degrades steps and stalls convergence ~0.1% above
@@ -160,7 +162,7 @@ def _damping_iter_jit(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
             min_planes, gauge_fix, centered, use_lapack_eigh,
             update, linear_solver, backend, pallas_interpret, edges,
             pcg_iters, pcg_tol, hess_precision, packed_impl,
-            chunk_planes)
+            chunk_planes, ulp_tol)
 
 
 def _blocks6(A, W):
@@ -174,7 +176,7 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                 linear_solver, backend="xla", pallas_interpret=False,
                 edges=None, pcg_iters=0, pcg_tol=1e-6,
                 hess_precision="high", packed_impl="xla",
-                chunk_planes=0):
+                chunk_planes=0, ulp_tol=128.0):
     """Construct (cond, body, init, degenerate, eval_res) for the LM loop
     — shared by the fused while_loop solver and the host-stepped timed
     variant (honest per-iteration wall-clock for convergence curves)."""
@@ -379,7 +381,21 @@ def _build_loop(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
         stop = rel < rel_tol
         if abs_tol > 0:
             stop = stop | (jnp.abs(res1 - res2) < abs_tol)
+        if ulp_tol > 0:
+            # f32-aware floor: the trial delta is within a few ULPs of
+            # the cost itself — further iterations only chase f32
+            # reduction-order dither (round-4: 2/10 consistency seeds
+            # burned the 1000-iteration cap this way).  In f64 the floor
+            # is ~1e-14 relative and never binds.
+            stop = stop | (jnp.abs(res1 - res2)
+                           < ulp_tol * jnp.finfo(dtype).eps
+                           * jnp.abs(res1))
         stop = stop & solve_ok
+        # damping overflow: u this large means the trust region has
+        # shrunk to numerically-zero steps with nothing accepted (an
+        # f32 evaluator-offset reject loop); continuing only overflows
+        # u to inf and poisons the trace with NaNs
+        stop = stop | (u_new > 1e30) | ~jnp.isfinite(u_new)
 
         i = c.it
         return _Carry(
@@ -432,12 +448,12 @@ def _damping_iter_body(R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol,
                        update, linear_solver, backend="xla",
                        pallas_interpret=False, edges=None,
                        pcg_iters=0, pcg_tol=1e-6, hess_precision="high",
-                       packed_impl="xla", chunk_planes=0):
+                       packed_impl="xla", chunk_planes=0, ulp_tol=128.0):
     cond, body, init, degenerate, eval_res = _build_loop(
         R, p, f, max_iters, u_init, v_init, rel_tol, abs_tol, min_planes,
         centered, use_lapack_eigh, update, linear_solver, backend,
         pallas_interpret, edges, pcg_iters, pcg_tol, hess_precision,
-        packed_impl, chunk_planes)
+        packed_impl, chunk_planes, ulp_tol)
     c = jax.lax.while_loop(cond, body, init)
     return _finish(c, degenerate, eval_res, gauge_fix)
 
@@ -470,7 +486,8 @@ def damping_iter_resumable(R, p, f: F.PlaneFactors,
             R, p, f, cfg.max_iters, cfg.u_init, cfg.v_init, cfg.rel_tol,
             cfg.abs_tol, cfg.min_planes_per_pose, centered, False,
             "left", "cholesky", backend, pallas_interpret, edges,
-            packed_impl=packed_impl)
+            packed_impl=packed_impl,
+            ulp_tol=getattr(cfg, "ulp_tol", 128.0))
 
         if state is not None:
             init = _Carry(*[jnp.asarray(np.asarray(x)).astype(y.dtype)
@@ -511,7 +528,8 @@ def damping_iter_timed(R, p, f: F.PlaneFactors,
             R, p, f, cfg.max_iters, cfg.u_init, cfg.v_init, cfg.rel_tol,
             cfg.abs_tol, cfg.min_planes_per_pose, centered,
             use_lapack_eigh, "left", "cholesky", backend,
-            pallas_interpret, None)
+            pallas_interpret, None,
+            ulp_tol=getattr(cfg, "ulp_tol", 128.0))
 
         # guarded step: a finished carry passes through unchanged, so the
         # host can dispatch a FIXED max_iters steps and read NOTHING

@@ -161,3 +161,82 @@ def test_windowed_sharded_equals_single_device():
     hv1 = FW.hvp(parts1, v, W)
     assert np.allclose(np.asarray(hv0), np.asarray(hv1),
                        atol=1e-9 * float(jnp.max(jnp.abs(hv0)) + 1e-12))
+
+
+def test_band_hessian_matches_dense():
+    """band_hessian must reproduce the dense Hessian exactly: the band IS
+    the whole matrix (every factor spans <= S contiguous poses)."""
+    R, p, f = _centered_problem(seed=26, G=12, W=8)
+    W = R.shape[0]
+    T = lie.pose_matrix(R, p)
+    _, _, H0 = factors.evaluate(T, f, centered=True)
+    wf = FW.from_dense(f)
+    parts = FW.evaluate_windowed(R, p, wf)
+    Hband = np.asarray(FW.band_hessian(parts, W))
+    S = wf.span
+    Hd = np.zeros((6 * W, 6 * W))
+    for w in range(W):
+        for d in range(S):
+            if w + d < W:
+                Hd[6 * w:6 * w + 6, 6 * (w + d):6 * (w + d) + 6] += \
+                    Hband[w, d]
+                if d > 0:
+                    Hd[6 * (w + d):6 * (w + d) + 6, 6 * w:6 * w + 6] += \
+                        Hband[w, d].T
+    hs = float(jnp.max(jnp.abs(H0))) + 1e-12
+    assert np.max(np.abs(Hd - np.asarray(H0))) < 1e-8 * hs
+
+
+def test_banded_direct_solve_matches_dense_solve():
+    """solver/banded.solve_banded on the damped band must equal the dense
+    linear solve for several supernode sizes."""
+    from balm_tpu.solver import banded
+
+    R, p, f = _centered_problem(seed=27, G=14, W=9)
+    W = R.shape[0]
+    T = lie.pose_matrix(R, p)
+    _, J0, H0 = factors.evaluate(T, f, centered=True)
+    wf = FW.from_dense(f)
+    parts = FW.evaluate_windowed(R, p, wf)
+    Hband = FW.band_hessian(parts, W)
+    # damp like LM does so the system is SPD
+    D = jnp.diag(jnp.asarray(H0))
+    tau = 2.0 * jnp.maximum(-jnp.min(D), 0.0)
+    Dd = (D + tau).reshape(W, 6)
+    u = 1.0
+    damp = (u * Dd)[..., None] * jnp.eye(6, dtype=Hband.dtype)
+    A = np.asarray(H0) + np.diag(u * np.asarray(Dd).reshape(-1))
+    x_ref = np.linalg.solve(A, -np.asarray(J0))
+    S = wf.span
+    for B in (S, S + 3, 2 * S):
+        x, ok = banded.solve_banded(
+            Hband.at[:, 0].add(damp), -jnp.asarray(J0), B)
+        assert bool(ok)
+        err = np.max(np.abs(np.asarray(x) - x_ref))
+        assert err < 1e-6 * (np.max(np.abs(x_ref)) + 1e-12), (B, err)
+
+
+def test_banded_lm_matches_dense_lm_trajectory():
+    """damping_iter_large(linear_solver='banded') takes EXACT dense-solver
+    steps: the full LM trajectory must match the dense solver's."""
+    from balm_tpu.config import SolverConfig
+    from balm_tpu.solver import large, lm
+
+    R, p, f = _centered_problem(seed=28, G=12, W=7)
+    rng = np.random.default_rng(11)
+    dx = jnp.asarray(rng.normal(size=(R.shape[0], 6)) * 0.01)
+    R0, p0 = lie.se3_left_update(R, p, dx)
+
+    cfg = SolverConfig(max_iters=10, rel_tol=0.0, min_planes_per_pose=0)
+    ra = lm.damping_iter(R0, p0, f, cfg, centered=True)
+    wf = FW.from_dense(f)
+    rb = large.damping_iter_large(R0, p0, wf, cfg,
+                                  linear_solver="banded")
+    assert abs(float(ra.residual) - float(rb.residual)) < 1e-8 * abs(
+        float(ra.residual)) + 1e-12
+    assert float(jnp.max(jnp.abs(ra.p - rb.p))) < 1e-6
+    # iteration-for-iteration identical accept pattern
+    na, nb = int(ra.iters), int(rb.iters)
+    assert na == nb
+    assert np.allclose(np.asarray(ra.trace_res1)[:na],
+                       np.asarray(rb.trace_res1)[:nb], rtol=1e-6)

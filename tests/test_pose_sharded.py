@@ -38,7 +38,7 @@ def test_pose_sharded_matches_replicated(W):
     R0, p0, wf = _problem(W)
     cfg = SolverConfig(max_iters=8)
     ref = large.damping_iter_large(R0, p0, wf, cfg, cg_iters=2000,
-                                   cg_tol=1e-12)
+                                   cg_tol=1e-12, linear_solver="pcg")
 
     n = 8
     prob = PS.prepare(R0, p0, wf, n)
@@ -71,7 +71,7 @@ def test_engine_equality_at_arbitrary_poses():
     W, n = 80, 8
     ops_ref = large.windowed_ops(wf, W)
     res_r, J_r, dH_r, parts_r = ops_ref.evaluate(R0, p0)
-    A_r = ops_ref.precond(parts_r, 0.01)
+    A_r = ops_ref.precond(parts_r, 0.01, dH_r)
     v = jnp.asarray(np.random.default_rng(0).normal(size=(W * 6,)))
     mv_r = ops_ref.matvec(parts_r, dH_r, 0.01, v)
 
@@ -82,7 +82,7 @@ def test_engine_equality_at_arbitrary_poses():
     def run(Rl, pl, wfl, vl):
         ops = PS._pose_sharded_ops(wfl, Wb, n)
         res, J, dH, state = ops.evaluate(Rl, pl)
-        A = ops.precond(state, 0.01)
+        A = ops.precond(state, 0.01, dH)
         mv = ops.matvec(state, dH, 0.01, vl.reshape(-1))
         return res, J, dH, A, mv.reshape(Wb, 6)
 
@@ -111,7 +111,7 @@ def test_single_device_mesh():
     R0, p0, wf = _problem(40)
     cfg = SolverConfig(max_iters=3)
     ref = large.damping_iter_large(R0, p0, wf, cfg, cg_iters=500,
-                                   cg_tol=1e-12)
+                                   cg_tol=1e-12, linear_solver="pcg")
     prob = PS.prepare(R0, p0, wf, 1)
     res = PS.damping_iter_pose_sharded(prob, PS.make_pose_mesh(1), cfg,
                                        cg_iters=500, cg_tol=1e-12)

@@ -224,3 +224,35 @@ def test_positive_diag_damping_matches_reference_semantics():
                                rtol=0, atol=1e-9)
     np.testing.assert_allclose(np.asarray(out.p), np.asarray(pt),
                                rtol=0, atol=1e-9)
+
+
+def test_f32_ulp_floor_terminates_solver():
+    """With rel_tol=0 / abs_tol=0 an f32 solve must still terminate well
+    below the iteration cap: the ULP-scaled stop floor (SolverConfig.
+    ulp_tol) catches reduction-order dither between the full and
+    residual-only evaluators (round-4: 2/10 consistency seeds burned a
+    1000-iteration cap), and the damping-overflow stop catches the
+    reject-forever tail (u doubling to inf)."""
+    import jax
+    import jax.numpy as jnp
+
+    from balm_tpu.ops import factors as Fmod
+    from balm_tpu.pipelines import virtual
+    from balm_tpu.solver import lm
+
+    cfg = virtual.VirtualConfig(win_size=8, surf_size=12, pts_size=30,
+                                seed=6)
+    R_gt, p_gt, body_points = virtual.generate(cfg)
+    R0, p0 = virtual.perturb(R_gt, p_gt, cfg)
+    f = virtual.build_factors(body_points, jnp.float64)
+    fr = Fmod.recenter_bodies(f).astype(jnp.float32)
+    fr = jax.tree_util.tree_map(jnp.asarray, fr)
+    scfg = SolverConfig(max_iters=300, u_init=0.01, rel_tol=0.0,
+                        abs_tol=0.0, min_planes_per_pose=1)
+    res = lm.damping_iter(jnp.asarray(R0, jnp.float32),
+                          jnp.asarray(p0, jnp.float32), fr, scfg,
+                          centered=True, backend="packed")
+    assert int(res.iters) < 60, int(res.iters)
+    assert np.isfinite(float(res.residual))
+    # and it actually converged (cost well below the initial)
+    assert float(res.residual) < 0.5 * float(res.trace_res1[0])
