@@ -230,6 +230,10 @@ class _Carry(NamedTuple):
     u: jnp.ndarray
     v: jnp.ndarray
     res1: jnp.ndarray
+    J: jnp.ndarray
+    diagH: jnp.ndarray
+    parts: Any
+    calc_hess: jnp.ndarray
     it: jnp.ndarray
     done: jnp.ndarray
     t_res1: jnp.ndarray
@@ -253,7 +257,14 @@ def lm_loop(ops: LMOps, R, p, max_iters, u_init, v_init, rel_tol, abs_tol,
     one_three = jnp.asarray(1.0 / 3.0, dtype)
 
     def body(c: _Carry) -> _Carry:
-        res1, J, diagH, parts = ops.evaluate(c.R, c.p)
+        # reject-reuse: recompute the (expensive) Hessian parts only
+        # after an accepted step, exactly like the dense loop
+        # (bavoxel.hpp:1134-1149 / solver/lm.py)
+        res1, J, diagH, parts = jax.lax.cond(
+            c.calc_hess,
+            lambda: ops.evaluate(c.R, c.p),
+            lambda: (c.res1, c.J, c.diagH, c.parts),
+        )
 
         # tau-shift damping (see solver/lm.py): the exact Newton diag
         # can go negative near degenerate clusters, and H + u diag(H)
@@ -340,6 +351,7 @@ def lm_loop(ops: LMOps, R, p, max_iters, u_init, v_init, rel_tol, abs_tol,
         i = c.it
         return _Carry(
             R=Rn, p=pn, u=u_new, v=v_new, res1=res1n,
+            J=J, diagH=diagH, parts=parts, calc_hess=accept,
             it=i + 1, done=stop,
             t_res1=c.t_res1.at[i].set(res1),
             t_res2=c.t_res2.at[i].set(res2),
@@ -352,10 +364,15 @@ def lm_loop(ops: LMOps, R, p, max_iters, u_init, v_init, rel_tol, abs_tol,
         return (~c.done) & (c.it < max_iters)
 
     nan = jnp.full((max_iters,), jnp.nan, dtype)
+    shapes = jax.eval_shape(ops.evaluate, R, p)
+    _, J0, dH0, parts0 = jax.tree.map(
+        lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes)
     init = _Carry(
         R=R, p=p,
         u=jnp.asarray(u_init, dtype), v=jnp.asarray(v_init, dtype),
         res1=jnp.asarray(jnp.inf, dtype),
+        J=J0, diagH=dH0, parts=parts0,
+        calc_hess=jnp.asarray(True),
         it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
         t_res1=nan, t_res2=nan, t_u=nan, t_acc=nan,
         t_cg=jnp.zeros((max_iters,), jnp.int32),
