@@ -216,15 +216,69 @@ def _window_moment(R, p, wf: WindowedFactors):
         (nf > 0.5)[..., None, None],
         df[..., :, None] * df[..., None, :], 0.0)
     covM = covN / NNs[..., None, None]
-    return Tg, TC, TCT, NNs, NN, vbar, covM
+    aux = (Rg, d, Rv, Pf, nf, df)
+    return Tg, TC, TCT, NNs, NN, vbar, covM, aux
+
+
+def _lambda0_rayleigh(wf: WindowedFactors, NNs, covM, aux,
+                      lam=None, U=None):
+    """PROJECT-FIRST refinement of lambda_0 (and its eigenvector frame).
+
+    When the trajectory slides along a plane's in-plane null mode the
+    within-plane spread grows unboundedly while lambda_0 stays tiny:
+    once lambda_0 / lambda_2 < eps_f32 (spread ~ 80 m: ratio ~ 7e-9)
+    the accumulated covM carries NO lambda_0 information — f32 eigvals
+    return +-eps*lambda_2-scale noise, measured +-50 on a true 0.07
+    (the round-5 corridor banded-solve garbage costs).
+
+    The NORMAL direction, however, is accurate to ~eps * lam2 / lam1
+    radians.  So: take u_k from the f32 eigensolve, project every
+    moment term onto u_k FIRST, then accumulate:
+
+        lam_k^R = (sum_s [w_s^T P_s w_s + 2 (w_s^T v_s)(u_k.d_s)
+                          + n_s (u_k.d_s)^2] + u_k^T Pf u_k
+                   + nf (u_k.df)^2) / NN,     w_s = R_s^T u_k
+
+    u_k.d_s has NO cancellation against the in-plane spread (d is
+    in-plane; its normal component is plane-thickness-scale), so the
+    f32 error is ~eps * |d| * |u.d| — ~1e-5 absolute where the direct
+    eigenvalue was +-50.  Rayleigh: lam_0^R >= lam_0_true with
+    second-order error (normal_err^2 * lam_2 ~ 1e-5).  Applied to all
+    three eigenvalues (k > 0 barely change).  Padding planes keep 0.
+    """
+    from .eigh3 import eigh3 as _eigh3
+
+    if U is None:
+        lam, U = _eigh3(covM)
+    Rg, d, Rv, Pf, nf, df = aux
+    C = wf.C
+    P = C[..., :3, :3]                                   # (G, S, 3, 3)
+    v = C[..., :3, 3]
+    n = C[..., 3, 3]
+    # w[g,s,3,k] = Rg^T u_k ;  ud[g,s,k] = u_k . d
+    w = jnp.einsum("gsab,gak->gsbk", Rg, U)
+    ud = jnp.einsum("gak,gsa->gsk", U, d)
+    wPw = jnp.einsum("gsak,gsab,gsbk->gsk", w, P, w)
+    wv = jnp.einsum("gsak,gsa->gsk", w, v)
+    terms = wPw + 2.0 * wv * ud + n[..., None] * ud * ud   # (G, S, k)
+    uPfu = jnp.einsum("gak,gab,gbk->gk", U, Pf, U)
+    udf = jnp.einsum("gak,ga->gk", U, df)
+    fix = uPfu + jnp.where((nf > 0.5)[..., None],
+                           nf[..., None] * udf * udf, 0.0)
+    lamR = (jnp.sum(terms, axis=1) + fix) / NNs[..., None]
+    # keep the eigensolve's ordering guarantees: sort ascending
+    order = jnp.argsort(lamR, axis=-1)
+    lamR = jnp.take_along_axis(lamR, order, axis=-1)
+    U = jnp.take_along_axis(U, order[:, None, :], axis=-1)
+    return lamR, U
 
 
 def residual_only_windowed(R, p, wf: WindowedFactors):
     """Total cost sum_g coe_g lambda_0 (evaluate_only_residual,
     bavoxel.hpp:428-470, in span-local form)."""
     with jax.default_matmul_precision("float32"):
-        _, _, _, _, NN, _, covM = _window_moment(R, p, wf)
-        lam = eigvals3(covM)
+        _, _, _, NNs, NN, _, covM, aux = _window_moment(R, p, wf)
+        lam, _ = _lambda0_rayleigh(wf, NNs, covM, aux)
         valid = (NN > 0.5) & (wf.coe > 0)
         return jnp.sum(jnp.where(valid, wf.coe * lam[..., 0], 0.0))
 
@@ -247,11 +301,16 @@ def _evaluate_windowed_impl(R, p, wf, gap_eps, use_lapack_eigh):
     W = R.shape[0]
     dtype = wf.C.dtype
 
-    Tg, TC, TCT, NNs, NN, vbar, covM = _window_moment(R, p, wf)
+    Tg, TC, TCT, NNs, NN, vbar, covM, maux = _window_moment(R, p, wf)
     if use_lapack_eigh:
         lam, U = jnp.linalg.eigh(covM)
     else:
         lam, U = eigh3(covM)
+    # project-first eigenvalue refinement: mandatory for f32 once the
+    # in-plane spread grows (lambda_0/lambda_2 < eps_f32 -> the raw
+    # eigenvalues are +-eps*lambda_2 noise); harmless exact-arithmetic
+    # no-op otherwise (see _lambda0_rayleigh)
+    lam, U = _lambda0_rayleigh(wf, NNs, covM, maux, lam, U)
 
     valid = (NN > 0.5) & (wf.coe > 0)
     coe = jnp.where(valid, wf.coe, 0.0)

@@ -153,31 +153,82 @@ def _pcg(matvec, b, Minv, max_iters, tol, dot=jnp.vdot):
 
 
 def windowed_ops(wf: FW.WindowedFactors, W: int,
-                 supernode: int | None = None) -> LMOps:
-    """Single-device (or GSPMD plane-sharded) engine over WindowedFactors."""
+                 supernode: int | None = None, edges=None) -> LMOps:
+    """Single-device (or GSPMD plane-sharded) engine over WindowedFactors.
+
+    edges: optional ops.pose_graph.RelPoseEdges — SE(3) relative-pose
+    factors added to the plane cost (the hierarchy's inter-block
+    consensus constraints, or odometry priors that pin corridor-class
+    null modes).  Every edge must satisfy i < j and j - i < span so its
+    Hessian blocks stay inside the band.
+    """
     B = max(int(wf.span), 1) if supernode is None else int(supernode)
+    if edges is not None:
+        from ..ops import pose_graph as PG
+        S = int(wf.span)
+        ei = edges.i
+        ej = edges.j
 
     def evaluate(R, p):
         parts = FW.evaluate_windowed(R, p, wf)
         diagH = FW.hess_diag(parts, W)
-        return parts.res, parts.J.reshape(-1), diagH.reshape(-1), parts
+        res = parts.res
+        J = parts.J
+        if edges is not None:
+            eres, g, h = PG.evaluate_relpose_blocks(R, p, edges)
+            res = res + eres.astype(res.dtype)
+            J = J.at[ei].add(g[:, :6].astype(J.dtype)).at[ej].add(
+                g[:, 6:].astype(J.dtype))
+            dii = jnp.diagonal(h[:, :6, :6], axis1=-2, axis2=-1)
+            djj = jnp.diagonal(h[:, 6:, 6:], axis1=-2, axis2=-1)
+            diagH = diagH.at[ei].add(dii.astype(diagH.dtype)).at[ej].add(
+                djj.astype(diagH.dtype))
+            parts = (parts, h)
+        return res, J.reshape(-1), diagH.reshape(-1), parts
 
     def residual(R, p):
-        return FW.residual_only_windowed(R, p, wf)
+        res = FW.residual_only_windowed(R, p, wf)
+        if edges is not None:
+            res = res + PG.relpose_cost(R, p, edges).astype(res.dtype)
+        return res
 
     def matvec(parts, Dd, u, v):
         v2 = v.reshape(W, 6)
-        out = FW.hvp(parts, v2, W) + u * Dd.reshape(W, 6) * v2
-        return out.reshape(-1)
+        if edges is not None:
+            parts, h = parts
+        out = FW.hvp(parts, v2, W)
+        if edges is not None:
+            hi = (jnp.einsum("eab,eb->ea", h[:, :6, :6], v2[ei])
+                  + jnp.einsum("eab,eb->ea", h[:, :6, 6:], v2[ej]))
+            hj = (jnp.einsum("eab,eb->ea", h[:, 6:, :6], v2[ei])
+                  + jnp.einsum("eab,eb->ea", h[:, 6:, 6:], v2[ej]))
+            out = out.at[ei].add(hi.astype(out.dtype)).at[ej].add(
+                hj.astype(out.dtype))
+        return (out + u * Dd.reshape(W, 6) * v2).reshape(-1)
 
     def precond(parts, u, Dd):
-        return FW.block_jacobi(parts, W, u, Dd=Dd.reshape(W, 6))
+        if edges is not None:
+            parts, h = parts
+        A = FW.block_jacobi(parts, W, 0.0)
+        if edges is not None:
+            A = A.at[ei].add(h[:, :6, :6].astype(A.dtype)).at[ej].add(
+                h[:, 6:, 6:].astype(A.dtype))
+        return A + u * Dd.reshape(W, 6)[..., None] * jnp.eye(
+            6, dtype=A.dtype)
 
     def update(R, p, dx):
         return lie.se3_left_update(R, p, dx.reshape(-1, 6))
 
     def direct(parts, Dd, u, J):
+        if edges is not None:
+            parts, h = parts
         Hband = FW.band_hessian(parts, W)
+        if edges is not None:
+            hd = Hband.dtype
+            Hband = (Hband
+                     .at[ei, 0].add(h[:, :6, :6].astype(hd))
+                     .at[ej, 0].add(h[:, 6:, 6:].astype(hd))
+                     .at[ei, ej - ei].add(h[:, :6, 6:].astype(hd)))
         damp = (u * Dd.reshape(W, 6))[..., None] * jnp.eye(
             6, dtype=Hband.dtype)
         return _banded.solve_banded(Hband.at[:, 0].add(damp), -J, B)
@@ -190,24 +241,39 @@ def windowed_ops(wf: FW.WindowedFactors, W: int,
 def damping_iter_large(R, p, wf: FW.WindowedFactors,
                        cfg: SolverConfig = SolverConfig(),
                        *, cg_iters: int = 100, cg_tol: float = 1e-4,
-                       linear_solver: str = "banded"):
+                       linear_solver: str = "banded", edges=None):
     """LM loop over WindowedFactors; same schedule as solver/lm.py
     (bavoxel.hpp:1069-1166) with the dense solve replaced by the
     block-tridiagonal banded Cholesky (linear_solver='banded', default:
     EXACT dense-quality steps, O(W span^2) — solver/banded.py) or the
-    block-Jacobi PCG ('pcg': matrix-free, the multi-chip engine)."""
+    block-Jacobi PCG ('pcg': matrix-free, the multi-chip engine).
+
+    edges: optional ops.pose_graph.RelPoseEdges folded into cost /
+    gradient / Hessian (see windowed_ops); requires i < j, j - i < span
+    (checked host-side here)."""
+    if edges is not None:
+        import numpy as _np
+
+        ei = _np.asarray(edges.i)
+        ej = _np.asarray(edges.j)
+        if ei.size and not (_np.all(ei < ej)
+                            and _np.all(ej - ei < wf.span)):
+            raise ValueError(
+                "edges must satisfy i < j and j - i < span "
+                f"(span={wf.span}); got max j-i={int((ej-ei).max())}")
     return _damping_iter_large_jit(
         R, p, wf, cfg.max_iters, cfg.u_init, cfg.v_init, cfg.rel_tol,
         cfg.abs_tol, cfg.gauge_fix, cg_iters, cg_tol, linear_solver,
-        getattr(cfg, "ulp_tol", 128.0))
+        getattr(cfg, "ulp_tol", 128.0), edges)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 7, 8, 9, 10, 11, 12))
 def _damping_iter_large_jit(R, p, wf, max_iters, u_init, v_init, rel_tol,
                             abs_tol, gauge_fix, cg_iters, cg_tol,
-                            linear_solver="pcg", ulp_tol=128.0):
+                            linear_solver="pcg", ulp_tol=128.0,
+                            edges=None):
     W = R.shape[0]
-    ops = windowed_ops(wf, W)
+    ops = windowed_ops(wf, W, edges=edges)
     with jax.default_matmul_precision("float32"):
         c = lm_loop(ops, R, p, max_iters, u_init, v_init, rel_tol,
                     abs_tol, cg_iters, cg_tol,

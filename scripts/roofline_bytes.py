@@ -1,14 +1,21 @@
-"""Bytes-touched vs achieved-bandwidth model for the packed evaluate
-(round-4 verdict item 2: prove or refute 'the rows assembly is at its
-memory speed-of-light').
+"""Bytes-touched vs achieved-bandwidth model for the packed evaluate.
 
-For each phase (csum, aux, rows+matmul, full evaluate) at W=512/1024:
-  * compile the jitted phase and read XLA's memory_analysis (argument /
-    output / temp buffer bytes) — temp bytes are the materialized
-    intermediates between fusions, each written once and read once
-  * model HBM traffic ~= args + outputs + 2 * temps
-  * slope-time the phase (utils/sync.py) and report achieved GB/s vs the
-    v5e HBM roof (819 GB/s) and achieved FLOP/s vs the MXU ceilings
+Round-5 correction (round-4 verdict item 4): the round-4 artifact
+modeled traffic as args + out + 2*temps and produced frac_hbm_roof of
+1.76-1.96 — physically impossible, meaning temp bytes are NOT all real
+HBM round-trips (XLA keeps some fusion intermediates on-chip and the
+2x multiplier double-counts).  This version reports a defensible LOWER
+BOUND only:
+
+  * mandatory_bytes = argument + output buffer bytes (these MUST cross
+    HBM at least once each); temp bytes are reported separately as
+    diagnostics, never folded into the bound
+  * frac_hbm_roof_lb = mandatory_bytes / time / 819 GB/s  — a lower
+    bound on how close the phase is to the bandwidth roof
+  * slope-timed (utils/sync.py); a phase whose chain slope is within
+    measurement noise (tk - t1 < 30% of t1) is marked
+    timing_unreliable and excluded from bandwidth claims (the round-4
+    "aux at 1640x roof" row came from a clamped negative slope)
 
 Run: python scripts/roofline_bytes.py
 """
@@ -64,15 +71,16 @@ def mem_model(compiled):
     return {
         "arg_bytes": int(args),
         "out_bytes": int(out),
-        "temp_bytes": int(temp),
-        "model_traffic_bytes": int(args + out + 2 * temp),
+        "temp_bytes_diagnostic": int(temp),
+        "mandatory_bytes": int(args + out),
     }
 
 
 def main():
     out = {"device": str(jax.devices()[0]), "hbm_gbps_roof": HBM_GBPS,
-           "protocol": "traffic ~= args + out + 2*temps "
-                       "(memory_analysis); slope-timed", "configs": []}
+           "protocol": "LOWER-BOUND traffic = args + out only "
+                       "(mandatory HBM crossings); temps diagnostic; "
+                       "slope-timed, noisy slopes flagged", "configs": []}
     for W, G in ((512, 8192), (1024, 16384)):
         R, p, f = synth(W, G)
         pk = pkmod.pack_factors(f)
@@ -92,7 +100,7 @@ def main():
             csum = csum_f(pose)
             cfg["csum"] = mem_model(comp)
             cfg["csum"]["time_s"] = sync.time_per_run(
-                csum_f, pose, k=8, reps=2)["per_run_s"]
+                csum_f, pose, k=12, reps=3)
 
             # phase 2: aux (eigh + weights)
             aux_f0 = jax.jit(
@@ -105,7 +113,7 @@ def main():
             aux = aux_f(csum)
             cfg["aux"] = mem_model(comp)
             cfg["aux"]["time_s"] = sync.time_per_run(
-                aux_f, csum, k=8, reps=2)["per_run_s"]
+                aux_f, csum, k=12, reps=3)
 
             # phase 3a: rows channels ONLY (materialized as one array)
             def rows_only(pose, mom, cen, aux):
@@ -118,7 +126,7 @@ def main():
             cfg["rows_only"] = mem_model(comp)
             cfg["rows_only"]["time_s"] = sync.time_per_run(
                 lambda pose: rows_f0(pose, pk.mom, pk.cen, aux),
-                pose, k=6, reps=2)["per_run_s"]
+                pose, k=8, reps=3)
 
             # phase 3b: full rows + matmul (hess HIGH)
             hess_f0 = jax.jit(lambda pose, mom, cen, aux:
@@ -129,7 +137,7 @@ def main():
             cfg["hess"] = mem_model(comp)
             cfg["hess"]["time_s"] = sync.time_per_run(
                 lambda pose: hess_f0(pose, pk.mom, pk.cen, aux),
-                pose, k=4, reps=2)["per_run_s"]
+                pose, k=6, reps=3)
 
             # full evaluate
             ev_f0 = jax.jit(lambda R, p, pk: pe.evaluate_packed(
@@ -142,20 +150,31 @@ def main():
                 return ev_f(R, p)
 
             cfg["evaluate"]["time_s"] = sync.time_per_run(
-                run_ev, R, k=4, reps=2)["per_run_s"]
+                run_ev, R, k=6, reps=3)
 
         Wp, Gp = pk.wp, pk.gp
         flops_mm = 2.0 * (6 * Wp) ** 2 * (3 * Gp)
         for ph in ("csum", "aux", "rows_only", "hess", "evaluate"):
             d = cfg[ph]
-            d["achieved_gbps"] = round(
-                d["model_traffic_bytes"] / d["time_s"] / 1e9, 1)
-            d["frac_hbm_roof"] = round(
-                d["achieved_gbps"] / HBM_GBPS, 3)
+            tinfo = d.pop("time_s")
+            d["time_s"] = tinfo["per_run_s"]
+            d["t1_s"] = tinfo["t1_s"]
+            d["tk_s"] = tinfo["tk_s"]
+            # slope within chain-to-chain noise -> no bandwidth claim
+            d["timing_unreliable"] = bool(
+                tinfo["tk_s"] - tinfo["t1_s"] < 0.3 * tinfo["t1_s"])
+            if d["timing_unreliable"]:
+                d["achieved_gbps_lb"] = None
+                d["frac_hbm_roof_lb"] = None
+            else:
+                d["achieved_gbps_lb"] = round(
+                    d["mandatory_bytes"] / d["time_s"] / 1e9, 1)
+                d["frac_hbm_roof_lb"] = round(
+                    d["achieved_gbps_lb"] / HBM_GBPS, 3)
         cfg["hess"]["matmul_flops"] = flops_mm
-        cfg["hess"]["rows_s_est"] = round(
-            cfg["hess"]["time_s"]
-            - flops_mm / PEAK_F32_3PASS, 5)
+        if not cfg["hess"]["timing_unreliable"]:
+            cfg["hess"]["rows_s_est"] = round(
+                cfg["hess"]["time_s"] - flops_mm / PEAK_F32_3PASS, 5)
         out["configs"].append(cfg)
         print(json.dumps(cfg, indent=1), flush=True)
 

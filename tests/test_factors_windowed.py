@@ -240,3 +240,50 @@ def test_banded_lm_matches_dense_lm_trajectory():
     assert na == nb
     assert np.allclose(np.asarray(ra.trace_res1)[:na],
                        np.asarray(rb.trace_res1)[:nb], rtol=1e-6)
+
+
+def test_banded_lm_with_edges_matches_dense():
+    """damping_iter_large(edges=...) must reproduce the dense solver's
+    plane+relpose trajectory (lm.damping_iter(edges=...)) — the edge
+    Hessian blocks land inside the band."""
+    from balm_tpu.config import SolverConfig
+    from balm_tpu.ops import pose_graph as PG
+    from balm_tpu.solver import large, lm
+
+    R, p, f = _centered_problem(seed=31, G=12, W=7)
+    rng = np.random.default_rng(17)
+    dx = jnp.asarray(rng.normal(size=(R.shape[0], 6)) * 0.01)
+    R0, p0 = lie.se3_left_update(R, p, dx)
+    W = R.shape[0]
+
+    # consecutive-pose odometry edges measured at the TRUE poses
+    i = jnp.arange(W - 1, dtype=jnp.int32)
+    j = i + 1
+    Zr = jnp.einsum("eba,ebc->eac", R[:-1], R[1:])
+    Zp = jnp.einsum("eba,eb->ea", R[:-1], p[1:] - p[:-1])
+    edges = PG.RelPoseEdges(i=i, j=j, Zr=Zr, Zp=Zp,
+                            w_rot=jnp.full((W - 1,), 50.0),
+                            w_tr=jnp.full((W - 1,), 50.0))
+
+    cfg = SolverConfig(max_iters=8, rel_tol=0.0, min_planes_per_pose=0)
+    ra = lm.damping_iter(R0, p0, f, cfg, centered=True, edges=edges)
+    wf = FW.from_dense(f)
+    assert int(wf.span) > 1
+    rb = large.damping_iter_large(R0, p0, wf, cfg,
+                                  linear_solver="banded", edges=edges)
+    assert abs(float(ra.residual) - float(rb.residual)) < 1e-7 * abs(
+        float(ra.residual)) + 1e-12
+    assert float(jnp.max(jnp.abs(ra.p - rb.p))) < 1e-6
+    np.testing.assert_allclose(np.asarray(ra.trace_accept),
+                               np.asarray(rb.trace_accept))
+
+    # and a far-separated edge must be rejected (outside the band)
+    bad = PG.RelPoseEdges(
+        i=jnp.asarray([0], jnp.int32),
+        j=jnp.asarray([W - 1], jnp.int32),
+        Zr=Zr[:1], Zp=Zp[:1], w_rot=jnp.ones((1,)), w_tr=jnp.ones((1,)))
+    if W - 1 >= wf.span:
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            large.damping_iter_large(R0, p0, wf, cfg,
+                                     linear_solver="banded", edges=bad)
