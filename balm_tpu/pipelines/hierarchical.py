@@ -818,3 +818,175 @@ def run_device_batched(
             print(f"cycle {cyc}: {info['timings'][-1]}", flush=True)
 
     return R, p, info
+
+
+def consensus_scan_edges(idx: np.ndarray, Rr, pr, *,
+                         sigma_rot: float = 2e-3, sigma_tr: float = 2e-3,
+                         weight_scale: float = 1.0):
+    """Consecutive-scan relative-pose edges from batched block solutions.
+
+    idx: (B, block) global scan indices per block; Rr/pr: (B, block)
+    refined block-relative poses (re-anchored to each block's first
+    scan).  For every consecutive global pair (i, i+1) the relative pose
+    T_i^-1 T_{i+1} is measured inside EACH overlapping block that
+    contains both scans; the edge takes the Lie-algebra consensus mean
+    and a weight from the cross-block spread (the overlap-consensus
+    machinery of the host hierarchy, ops/pose_graph.consensus_edge, at
+    scan granularity):
+
+        w = weight_scale / (sigma^2 + spread^2)
+
+    These edges pin the corridor-class bending null modes of the plane
+    cost (a 50-deg global bend is cost-flat but violates every
+    consecutive-scan measurement) without fighting the plane factors at
+    convergence — at the solution the edge residuals sit at the
+    intra-block accuracy the measurements came from.
+
+    Returns ops.pose_graph.RelPoseEdges over global scan indices
+    (i, i+1: band-compatible with solver/large.damping_iter_large).
+    """
+    from ..ops import pose_graph as PG
+
+    idx = np.asarray(idx)
+    Rr = np.asarray(Rr, np.float64)
+    pr = np.asarray(pr, np.float64)
+    B, blk = idx.shape
+    W = int(idx.max()) + 1
+    meas: dict[int, list] = {}
+    for b in range(B):
+        for j in range(blk - 1):
+            i = int(idx[b, j])
+            if int(idx[b, j + 1]) != i + 1:
+                continue
+            Zr = Rr[b, j].T @ Rr[b, j + 1]
+            Zp = Rr[b, j].T @ (pr[b, j + 1] - pr[b, j])
+            meas.setdefault(i, []).append((Zr, Zp))
+    if not meas:
+        return None
+    li, Zr_l, Zp_l, wr_l, wt_l = [], [], [], [], []
+    for i in sorted(meas):
+        Ts = meas[i]
+        R0, p0 = Ts[0]
+        if len(Ts) == 1:
+            Rm, pm, sp_r, sp_t = R0, p0, 0.0, 0.0
+        else:
+            ws = [np.asarray(lie.so3_log(jnp.asarray(R0.T @ Rk)))
+                  for Rk, _ in Ts]
+            vs = [pk - p0 for _, pk in Ts]
+            wbar = np.mean(ws, axis=0)
+            vbar = np.mean(vs, axis=0)
+            sp_r = float(np.max(np.linalg.norm(
+                np.asarray(ws) - wbar, axis=-1)))
+            sp_t = float(np.max(np.linalg.norm(
+                np.asarray(vs) - vbar, axis=-1)))
+            Rm = R0 @ np.asarray(lie.so3_exp(jnp.asarray(wbar)))
+            pm = p0 + vbar
+        li.append(i)
+        Zr_l.append(Rm)
+        Zp_l.append(pm)
+        wr_l.append(weight_scale / (sigma_rot ** 2 + sp_r ** 2))
+        wt_l.append(weight_scale / (sigma_tr ** 2 + sp_t ** 2))
+    li = np.asarray(li, np.int32)
+    return PG.RelPoseEdges(
+        i=jnp.asarray(li), j=jnp.asarray(li + 1),
+        Zr=jnp.asarray(np.stack(Zr_l)), Zp=jnp.asarray(np.stack(Zp_l)),
+        w_rot=jnp.asarray(np.asarray(wr_l)),
+        w_tr=jnp.asarray(np.asarray(wt_l)))
+
+
+def run_batched_consensus(
+    scans,
+    R0: np.ndarray,
+    p0: np.ndarray,
+    *,
+    block: int = 16,
+    stride: int | None = None,
+    cycles: int = 1,
+    voxel: VoxelConfig = VoxelConfig(min_observers=2),
+    solver: SolverConfig = SolverConfig(
+        max_iters=12, u_init=0.01, min_planes_per_pose=0,
+        gauge_fix=False),
+    polish_solver: SolverConfig = SolverConfig(max_iters=25, u_init=0.01),
+    sigma_rot: float = 2e-3,
+    sigma_tr: float = 2e-3,
+    edge_weight_scale: float = 1.0,
+    block_caps=(1 << 9, 1 << 11, 1 << 13),
+    Gcap_block: int = 256,
+    cs_cap_block: int = 1 << 15,
+    verbose: bool = False,
+):
+    """The TPU-batched hierarchy WITH the host hierarchy's consensus
+    machinery (round-4 verdict item 3):
+
+      1. overlapping blocks, association + window BA fully vmapped
+         on-device (run_device_batched top=False) — local geometry;
+      2. consecutive-scan CONSENSUS edges from the overlapping block
+         solutions (consensus_scan_edges): agreement across blocks sets
+         the weight, disagreement de-weights the edge;
+      3. ONE global banded solve (solver/banded.py: exact dense-quality
+         steps, linear in W) over plane factors re-associated at the
+         composed poses PLUS the consensus edges.
+
+    The edges make the anchor-stage multi-modality moot: there is no
+    anchor-only solve to basin-hop — the global solve sees every scan,
+    and the consensus edges pin the bending null modes that made the
+    corridor anchor problem multi-modal (ROUND_NOTES round-4 §9).
+
+    Returns (R, p, info).
+    """
+    import time as _time
+
+    from ..ops import factors_windowed as FW
+    from ..solver import large as large_mod
+
+    stride = stride if stride is not None else block // 2
+    t0 = _time.perf_counter()
+    Rh, ph, info = run_device_batched(
+        scans, R0, p0, block=block, stride=stride, cycles=cycles,
+        voxel=voxel, solver=solver, block_caps=block_caps,
+        Gcap_block=Gcap_block, cs_cap_block=cs_cap_block, top=False,
+        verbose=verbose)
+    info["blocks_s"] = round(_time.perf_counter() - t0, 2)
+
+    # rebuild the block geometry for the edges: run_device_batched
+    # re-anchors each block before landing, so recompute rel poses from
+    # the landed trajectory per block (equivalent and simpler)
+    W = len(scans)
+    starts = list(range(0, max(W - block, 0) + 1, stride))
+    if starts[-1] != W - block:
+        starts.append(W - block)
+    idx = np.stack([np.arange(s, s + block) for s in starts])
+    Ra = Rh[idx[:, 0]]
+    pa = ph[idx[:, 0]]
+    R_rel = np.einsum("bca,bwcd->bwad", Ra, Rh[idx])
+    p_rel = np.einsum("bca,bwc->bwa", Ra, ph[idx] - pa[:, None])
+    t0 = _time.perf_counter()
+    edges = consensus_scan_edges(
+        idx, R_rel, p_rel, sigma_rot=sigma_rot, sigma_tr=sigma_tr,
+        weight_scale=edge_weight_scale)
+    info["edges_s"] = round(_time.perf_counter() - t0, 2)
+    info["n_edges"] = 0 if edges is None else int(edges.i.shape[0])
+
+    t0 = _time.perf_counter()
+    vres = grid.voxelize(scans, Rh, ph, voxel, dtype=np.float64)
+    fr = Fmod.recenter_bodies(vres.factors).astype(jnp.float32)
+    wf = jax.tree_util.tree_map(jnp.asarray, FW.from_dense(fr))
+    info["polish_assoc_s"] = round(_time.perf_counter() - t0, 2)
+    info["polish_planes"] = int(vres.num_planes)
+    info["polish_span"] = int(wf.span)
+
+    if edges is not None:
+        edges = jax.tree_util.tree_map(
+            lambda x: (x.astype(jnp.float32)
+                       if x.dtype in (jnp.float64, jnp.float32) else x),
+            edges)
+    t0 = _time.perf_counter()
+    res = large_mod.damping_iter_large(
+        jnp.asarray(Rh, jnp.float32), jnp.asarray(ph, jnp.float32),
+        wf, polish_solver, linear_solver="banded", edges=edges)
+    Rf = np.asarray(res.R, np.float64)
+    pf = np.asarray(res.p, np.float64)
+    info["polish_solve_s"] = round(_time.perf_counter() - t0, 2)
+    info["polish_iters"] = int(res.iters)
+    info["polish_residual"] = float(res.residual)
+    return Rf, pf, info

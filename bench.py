@@ -224,6 +224,53 @@ def main():
                 None)
     mfu = (tflops / peak) if peak else None
 
+    # The W=177 reference problem is DISPATCH-FLOOR-BOUND on this chip
+    # (total_s ~ dispatch_floor_s) so its MFU is a latency statement,
+    # not a kernel-efficiency one.  Measure the big-kernel MFU at
+    # W=1024 separately (round-4 verdict item 4: emit both).
+    kernel_w1024 = None
+    if on_tpu and os.environ.get("BENCH_LARGE_MFU", "1") == "1":
+        try:
+            from jax import lax as _lax
+
+            from balm_tpu.ops import packed as _pkmod
+            from balm_tpu.ops import pallas_evaluate as _pe
+
+            rngk = np.random.default_rng(0)
+            Wk, Gk = 1024, 16384
+            Ck = np.zeros((Gk, Wk, 4, 4), np.float64)
+            nk = rngk.integers(20, 200, size=(Gk, Wk)).astype(np.float64)
+            Ak = rngk.normal(size=(Gk, Wk, 3, 3)) * 0.05
+            Ck[..., :3, :3] = np.einsum(
+                "gwab,gwcb->gwac", Ak, Ak) * nk[..., None, None]
+            Ck[..., 3, 3] = nk
+            fk = Fmod.PlaneFactors.create(jnp.asarray(Ck, jnp.float32))
+            fk = fk._replace(centers=jnp.asarray(
+                rngk.normal(size=(Gk, 3)) * 30, jnp.float32))
+            pkk = jax.device_put(_pkmod.pack_factors(fk))
+            Rk = jnp.asarray(np.stack([np.eye(3)] * Wk), jnp.float32)
+            pk_ = jnp.asarray(rngk.normal(size=(Wk, 3)), jnp.float32)
+
+            evf = jax.jit(lambda R_, p_, pkt: _pe.evaluate_packed_jw(
+                R_, p_, pkt, hess_precision=_lax.Precision.HIGH))
+            sync.fetch_scalar(evf(Rk, pk_, pkk)[0])    # compile + warm
+            tk = sync.time_per_run(
+                lambda R_: evf(R_, pk_, pkk), Rk, k=5, reps=2,
+                warmup=False)
+            fl = 2.0 * (6 * pkk.wp) ** 2 * (3 * pkk.gp)
+            tf = fl / tk["per_run_s"] / 1e12
+            kernel_w1024 = {
+                "evaluate_s": round(tk["per_run_s"], 4),
+                "tflops": round(tf, 1),
+                "mfu_vs_bf16_peak": (round(tf / peak, 4) if peak
+                                     else None),
+                "mfu_vs_f32_3pass_peak": (round(tf / (peak / 3.0), 4)
+                                          if peak else None),
+                "backend": "hybrid_jw",
+            }
+        except Exception as e:                       # noqa: BLE001
+            kernel_w1024 = {"error": str(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -258,6 +305,10 @@ def main():
                     "hessian_tflops": round(tflops, 3),
                     "mfu_vs_bf16_peak": (round(mfu, 4)
                                          if mfu is not None else None),
+                    "mfu_note": "W=177 is dispatch-floor-bound "
+                                "(total_s ~ dispatch_floor_s); see "
+                                "kernel_w1024 for kernel efficiency",
+                    "kernel_w1024": kernel_w1024,
                     "dispatch_floor_s": round(dispatch_floor, 4),
                     "chained_dispatch_floor_s": round(
                         floor["per_run_s"], 4),

@@ -144,8 +144,35 @@ def flat_tpu(scans, R0, p0, vcfg, W, chunk_planes=0):
              "wall_s": round(t_assoc + t_solve, 2)}, vres)
 
 
+def banded_solve(Rin, pin, wf, max_iters=40, chunks=2, edges=None):
+    """Banded windowed LM with host-side warm-restart chunking: the
+    tunneled TPU worker crashes on single dispatches past ~60 s (the
+    100-iteration W=2048 loop died reproducibly; 40 iterations runs),
+    so run `chunks` x `max_iters` as separate dispatches.  A restart
+    resets the damping schedule to u_init — a second chunk from an
+    almost-converged point just re-walks u down, costing a few
+    rejected iterations."""
+    from balm_tpu.solver import large as large_mod
+
+    res = None
+    total_iters = 0
+    for _ in range(chunks):
+        res = large_mod.damping_iter_large(
+            Rin, pin, wf, SolverConfig(max_iters=max_iters, u_init=0.01),
+            linear_solver="banded", edges=edges)
+        total_iters += int(res.iters)
+        Rin = res.R
+        pin = res.p
+        if int(res.iters) < max_iters:
+            break
+    return res, total_iters
+
+
 def main(W=1024):
     from tests.test_hierarchical import perturb_drift
+
+    from balm_tpu.ops import factors_windowed as FW
+    from balm_tpu.pipelines import hierarchical
 
     out = {"device": str(jax.devices()[0]), "W": W}
     print("generating corridor W =", W, flush=True)
@@ -161,153 +188,95 @@ def main(W=1024):
 
     vcfg = VoxelConfig(min_observers=2)
 
-    # ---- hierarchy: device-batched blocks + span-compressed global ----
-    # The vmapped block BAs (on-device association + packed solves, 2
-    # dispatches for the whole trajectory) produce a locally-consistent
-    # init; the span-compressed matrix-free flat solve couples it
-    # globally.  The anchor-only top level is multi-modal on this scene
-    # class (two near-equal-residual optima 0.6/2.7 deg from truth;
-    # basin selection flips with f32 rounding) and is skipped — the
-    # host hierarchy's consensus machinery (overlap edges, anchor PGO,
-    # cycle guard) is the single-scene answer to that, not replicated
-    # in the batched path.
-    hkw = dict(
-        block=16, cycles=1, top=False,
+    # common cost reference: f64 factor set associated at the INIT poses
+    vres0 = grid.voxelize(scans, R0, p0, vcfg, dtype=np.float64)
+    out["cost_init"] = host_cost(vres0.factors, R0, p0)
+    out["cost_gt"] = host_cost(vres0.factors, R_gt, p_gt)
+
+    # ---- flat banded (exact dense-quality steps at ANY W) ----
+    t0 = time.perf_counter()
+    fr0 = Fmod.recenter_bodies(vres0.factors).astype(jnp.float32)
+    wf0 = jax.tree_util.tree_map(jnp.asarray, FW.from_dense(fr0))
+    fres, fit = banded_solve(jnp.asarray(R0, jnp.float32),
+                             jnp.asarray(p0, jnp.float32), wf0)
+    sync.fetch_scalar(fres.residual)
+    t_flat = time.perf_counter() - t0
+    Rf = np.asarray(fres.R, np.float64)
+    pf = np.asarray(fres.p, np.float64)
+    out["flat_banded"] = {
+        "wall_s": round(t_flat, 2), "iters": fit,
+        "planes": int(vres0.num_planes), "span": int(wf0.span),
+        "rsme": rsme(Rf, pf, R_gt, p_gt),
+        "rpe10": rpe(Rf, pf, R_gt, p_gt),
+        "cost": host_cost(vres0.factors, Rf, pf)}
+    out["cost_flat_banded"] = out["flat_banded"]["cost"]
+    print("flat_banded:", out["flat_banded"], flush=True)
+
+    # ---- hierarchy: batched blocks + consensus edges + banded polish,
+    # then an edge-free re-associated banded refine (the anneal) ----
+    t0 = time.perf_counter()
+    Rh, ph, hinfo = hierarchical.run_batched_consensus(
+        scans, np.array(R0), np.array(p0), block=16, cycles=1,
+        voxel=vcfg, edge_weight_scale=1e-3,
         block_caps=(1 << 9, 1 << 11, 1 << 13), Gcap_block=256,
         cs_cap_block=1 << 15,
-        solver=SolverConfig(max_iters=12, u_init=0.01,
-                            min_planes_per_pose=0, gauge_fix=False),
-        voxel=vcfg)
-    # warm (compile) then timed
-    hierarchical.run_device_batched(scans, R0, p0, **hkw)
-    t0 = time.perf_counter()
-    Rh, ph, info = hierarchical.run_device_batched(scans, R0, p0, **hkw)
-    t_hier = time.perf_counter() - t0
-
-    # global coupling: dense packed polish — one program at W <= 1024,
-    # factor-CHUNKED (lax.scan over plane chunks) past the one-program
-    # compile ceiling.  (The span-compressed PCG solver was tried here
-    # and stalls ~1.8x above the optimum on re-associated factors; the
-    # chunked dense evaluate keeps exact Newton steps at any W.)
+        polish_solver=SolverConfig(max_iters=30, u_init=0.01))
+    t_cons = time.perf_counter() - t0
     t0 = time.perf_counter()
     vres_h = grid.voxelize(scans, Rh, ph, vcfg, dtype=np.float64)
     fr_h = Fmod.recenter_bodies(vres_h.factors).astype(jnp.float32)
-    fr_h = jax.tree_util.tree_map(jnp.asarray, fr_h)
-    if W <= 1536:
-        pres = lm.damping_iter(
-            jnp.asarray(Rh, jnp.float32), jnp.asarray(ph, jnp.float32),
-            fr_h, SolverConfig(max_iters=25, u_init=0.01,
-                               min_planes_per_pose=0),
-            centered=True, backend="packed")
-        chunk = 0
-    else:
-        # past the dense ceiling (superlinear temp growth, artifacts/
-        # roofline_bytes.json): span-compressed matrix-free polish
-        from balm_tpu.ops import factors_windowed as FW
-        from balm_tpu.solver import large as large_mod
+    wf_h = jax.tree_util.tree_map(jnp.asarray, FW.from_dense(fr_h))
+    rres, rit = banded_solve(jnp.asarray(Rh, jnp.float32),
+                             jnp.asarray(ph, jnp.float32), wf_h,
+                             max_iters=30, chunks=1)
+    sync.fetch_scalar(rres.residual)
+    t_refine = time.perf_counter() - t0
+    Rh2 = np.asarray(rres.R, np.float64)
+    ph2 = np.asarray(rres.p, np.float64)
+    out["hier_consensus"] = {
+        "blocks_edges_polish_s": round(t_cons, 2),
+        "refine_s": round(t_refine, 2),
+        "total_wall_s": round(t_cons + t_refine, 2),
+        "n_edges": hinfo.get("n_edges"),
+        "timings": hinfo.get("timings"),
+        "overflow": hinfo.get("overflow"),
+        "refine_iters": rit,
+        "rsme_before_refine": rsme(Rh, ph, R_gt, p_gt),
+        "rsme": rsme(Rh2, ph2, R_gt, p_gt),
+        "rpe10": rpe(Rh2, ph2, R_gt, p_gt),
+        "cost": host_cost(vres0.factors, Rh2, ph2),
+        "cost_own_assoc": host_cost(vres_h.factors, Rh2, ph2),
+        "cost_gt_own_assoc": host_cost(vres_h.factors, R_gt, p_gt)}
+    out["cost_hier"] = out["hier_consensus"]["cost"]
+    print("hier_consensus:", out["hier_consensus"], flush=True)
 
-        wf_h = jax.tree_util.tree_map(jnp.asarray, FW.from_dense(fr_h))
-        pres = large_mod.damping_iter_large(
-            jnp.asarray(Rh, jnp.float32), jnp.asarray(ph, jnp.float32),
-            wf_h, SolverConfig(max_iters=25, u_init=0.01),
-            cg_iters=300, cg_tol=1e-6)
-        chunk = -1
-    sync.fetch_scalar(pres.residual)
-    t_polish = time.perf_counter() - t0
-    polish_kind = ("dense_packed" if chunk == 0
-                   else "span_compressed")
-    Rh2 = np.asarray(pres.R, np.float64)
-    ph2 = np.asarray(pres.p, np.float64)
+    # ---- flat dense packed (the one-program path, W <= 1024) ----
+    if W <= 1024:
+        Rd, pd_, flat, _ = flat_tpu(scans, R0, p0, vcfg, W)
+        flat["rsme"] = rsme(Rd, pd_, R_gt, p_gt)
+        flat["rpe10"] = rpe(Rd, pd_, R_gt, p_gt)
+        flat["cost"] = host_cost(vres0.factors, Rd, pd_)
+        out["flat_dense"] = flat
+        out["cost_flat_dense"] = flat["cost"]
+        print("flat_dense:", flat, flush=True)
 
-    out["hier"] = {"wall_s": round(t_hier, 2),
-                   "polish_s": round(t_polish, 2),
-                   "polish_kind": polish_kind,
-                   "total_wall_s": round(t_hier + t_polish, 2),
-                   "timings": info["timings"],
-                   "overflow": info["overflow"],
-                   "top_planes": info["top_planes"],
-                   "rsme_before_polish": rsme(Rh, ph, R_gt, p_gt),
-                   "rsme": rsme(Rh2, ph2, R_gt, p_gt),
-                   "rpe10": rpe(Rh2, ph2, R_gt, p_gt)}
-    Rh, ph = Rh2, ph2
-    print("hier:", out["hier"], flush=True)
-
-    # ---- flat (dense packed solve) ----
-    if W <= 1536:
-        Rf, pf, flat, vres = flat_tpu(scans, R0, p0, vcfg, W)
-        flat["rsme"] = rsme(Rf, pf, R_gt, p_gt)
-        flat["rpe10"] = rpe(Rf, pf, R_gt, p_gt)
-        out["flat"] = flat
-        print("flat:", flat, flush=True)
-        # common cost (flat association's f64 factor set)
-        out["cost_init"] = host_cost(vres.factors, R0, p0)
-        out["cost_gt"] = host_cost(vres.factors, R_gt, p_gt)
-        out["cost_flat"] = host_cost(vres.factors, Rf, pf)
-        out["cost_hier"] = host_cost(vres.factors, Rh, ph)
-        out["hier_over_flat_cost"] = out["cost_hier"] / out["cost_flat"]
-    else:
-        # record the dense ceiling: try the flat compile in a subprocess
-        code = (
-            "import sys; sys.path.insert(0, %r)\n"
-            "import scripts.hba_tpu_large as m\n"
-            "import numpy as np, jax\n"
-            "from tests.test_hierarchical import perturb_drift\n"
-            "from balm_tpu.config import VoxelConfig\n"
-            "import sys as s2\n"
-            "s2.path.insert(0, %r)\n"
-            "from hba_demo import make_corridor\n"
-            "R_gt, p_gt, scans = make_corridor(%d, seed=1, pts_per=60)\n"
-            "R0, p0 = perturb_drift(R_gt, p_gt, seed=2)\n"
-            "m.flat_tpu(scans, R0, p0, VoxelConfig(min_observers=2), %d)\n"
-            "print('FLAT_OK')\n"
-        ) % (str(ROOT), str(ROOT / "scripts"), W, W)
-        try:
-            r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, timeout=900)
-            ok = b"FLAT_OK" in r.stdout
-            out["flat"] = {
-                "feasible": bool(ok),
-                "note": ("dense evaluate compiled" if ok else
-                         "remote compile failed/crashed (the documented "
-                         "W=2048 dense ceiling, artifacts/roofline.json): "
-                         + r.stderr.decode()[-300:])}
-        except subprocess.TimeoutExpired:
-            out["flat"] = {"feasible": False,
-                           "note": "flat compile timed out (900 s)"}
-        print("flat:", out["flat"], flush=True)
-        # flat via the span-compressed matrix-free solver; the dense
-        # one-program AND factor-chunked paths both hit the superlinear
-        # temp-growth HBM ceiling at this W (measured 28.3-28.9 GB of
-        # 15.75 GB; artifacts/roofline_bytes.json 'temp_scaling_finding')
-        from balm_tpu.ops import factors_windowed as FW2
-        from balm_tpu.solver import large as large_mod2
-
-        t0 = time.perf_counter()
-        vres = grid.voxelize(scans, R0, p0, vcfg, dtype=np.float64)
-        fr0 = Fmod.recenter_bodies(vres.factors).astype(jnp.float32)
-        wf0 = jax.tree_util.tree_map(jnp.asarray, FW2.from_dense(fr0))
-        lres = large_mod2.damping_iter_large(
-            jnp.asarray(R0, jnp.float32), jnp.asarray(p0, jnp.float32),
-            wf0, SolverConfig(max_iters=40, u_init=0.01),
-            cg_iters=300, cg_tol=1e-6)
-        sync.fetch_scalar(lres.residual)
-        Rf = np.asarray(lres.R, np.float64)
-        pf = np.asarray(lres.p, np.float64)
-        flatc = {"wall_s": round(time.perf_counter() - t0, 2),
-                 "planes": int(vres.num_planes),
-                 "span": int(wf0.C.shape[1]),
-                 "kind": "span_compressed",
-                 "rsme": rsme(Rf, pf, R_gt, p_gt),
-                 "rpe10": rpe(Rf, pf, R_gt, p_gt)}
-        out["flat_chunked"] = flatc
-        print("flat_chunked:", out["flat_chunked"], flush=True)
-        out["cost_init"] = host_cost(vres.factors, R0, p0)
-        out["cost_gt"] = host_cost(vres.factors, R_gt, p_gt)
-        out["cost_flat_span"] = host_cost(vres.factors, Rf, pf)
-        out["cost_hier"] = host_cost(vres.factors, Rh, ph)
-        out["hier_over_gt_cost"] = out["cost_hier"] / out["cost_gt"]
-        out["hier_over_flat_span_cost"] = (
-            out["cost_hier"] / out["cost_flat_span"])
+    out["hier_over_flat_cost"] = out["cost_hier"] / out["cost_flat_banded"]
+    out["flat_banded_over_gt_cost"] = (
+        out["cost_flat_banded"] / out["cost_gt"])
+    out["hier_over_gt_cost"] = out["cost_hier"] / out["cost_gt"]
+    out["analysis"] = (
+        "Round-5 protocol: the block-tridiagonal banded solver "
+        "(solver/banded.py) gives exact dense-quality LM steps at any W "
+        "(the W=2048 dense one-program compile ceiling no longer "
+        "matters), and the batched hierarchy now carries the host "
+        "hierarchy's consensus machinery (overlapping blocks -> "
+        "consecutive-scan consensus edges -> banded global polish with "
+        "edges -> edge-free re-associated banded refine).  The edges pin "
+        "the corridor's cost-null BENDING modes during the global "
+        "coupling, then the anneal releases them once the basin is "
+        "correct; cost is evaluated on the common init-pose f64 factor "
+        "set AND each method's own re-associated set (CLAUDE.md: "
+        "compare corridor methods by cost + RPE, never ATE alone).")
 
     with open(ROOT / "artifacts" / f"hba_tpu_large_w{W}.json", "w") as fh:
         json.dump(out, fh, indent=2)
