@@ -966,6 +966,12 @@ def run_batched_consensus(
         weight_scale=edge_weight_scale)
     info["edges_s"] = round(_time.perf_counter() - t0, 2)
     info["n_edges"] = 0 if edges is None else int(edges.i.shape[0])
+    # hand the edges back to the caller: they are real measurements
+    # (intra-block relative accuracy, spread-weighted) and stay valid
+    # for any later re-associated refine — dropping them there re-opens
+    # the corridor bending null mode (measured at W=1024: an edge-free
+    # refine slid a 0.91 deg solution to 3.6 deg at LOWER own-set cost)
+    info["edges"] = edges
 
     t0 = _time.perf_counter()
     vres = grid.voxelize(scans, Rh, ph, voxel, dtype=np.float64)

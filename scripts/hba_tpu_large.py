@@ -213,7 +213,11 @@ def main(W=1024):
     print("flat_banded:", out["flat_banded"], flush=True)
 
     # ---- hierarchy: batched blocks + consensus edges + banded polish,
-    # then an edge-free re-associated banded refine (the anneal) ----
+    # then a re-associated banded refine that KEEPS the (annealed)
+    # consensus edges.  An edge-FREE refine was measured to slide along
+    # the corridor bending null mode (W=1024: 0.91 deg -> 3.57 deg RSME
+    # at LOWER own-set cost) — the edges are real spread-weighted
+    # measurements and stay in. ----
     t0 = time.perf_counter()
     Rh, ph, hinfo = hierarchical.run_batched_consensus(
         scans, np.array(R0), np.array(p0), block=16, cycles=1,
@@ -222,13 +226,21 @@ def main(W=1024):
         cs_cap_block=1 << 15,
         polish_solver=SolverConfig(max_iters=30, u_init=0.01))
     t_cons = time.perf_counter() - t0
+    edges_h = hinfo.pop("edges", None)
+    anneal = 0.3
+    if edges_h is not None:
+        edges_h = edges_h._replace(w_rot=edges_h.w_rot * anneal,
+                                   w_tr=edges_h.w_tr * anneal)
+        edges_h = jax.tree_util.tree_map(
+            lambda x: (jnp.asarray(x, jnp.float32)
+                       if np.asarray(x).dtype.kind == "f" else x), edges_h)
     t0 = time.perf_counter()
     vres_h = grid.voxelize(scans, Rh, ph, vcfg, dtype=np.float64)
     fr_h = Fmod.recenter_bodies(vres_h.factors).astype(jnp.float32)
     wf_h = jax.tree_util.tree_map(jnp.asarray, FW.from_dense(fr_h))
     rres, rit = banded_solve(jnp.asarray(Rh, jnp.float32),
                              jnp.asarray(ph, jnp.float32), wf_h,
-                             max_iters=30, chunks=1)
+                             max_iters=30, chunks=1, edges=edges_h)
     sync.fetch_scalar(rres.residual)
     t_refine = time.perf_counter() - t0
     Rh2 = np.asarray(rres.R, np.float64)
@@ -241,6 +253,8 @@ def main(W=1024):
         "timings": hinfo.get("timings"),
         "overflow": hinfo.get("overflow"),
         "refine_iters": rit,
+        "refine_edge_anneal": anneal,
+        "cost_before_refine": host_cost(vres0.factors, Rh, ph),
         "rsme_before_refine": rsme(Rh, ph, R_gt, p_gt),
         "rsme": rsme(Rh2, ph2, R_gt, p_gt),
         "rpe10": rpe(Rh2, ph2, R_gt, p_gt),
