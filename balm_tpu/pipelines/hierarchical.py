@@ -772,6 +772,14 @@ def run_device_batched(
             # scenes and needs the host hierarchy's consensus machinery)
             Rrn = np.asarray(Rr, np.float64)
             prn = np.asarray(pr, np.float64)
+            # keep the per-block solutions: overlapping blocks are
+            # INDEPENDENT measurements of the shared scans' relative
+            # poses (landing overwrites, last block wins) — the
+            # consensus-edge machinery needs the pre-composition
+            # versions or its spreads collapse to zero (measured: edges
+            # recomputed from the landed trajectory pin its ~0.13 m/scan
+            # composition error at w ~ ws/sigma^2 through every anneal)
+            info["block_rel"] = (idx.copy(), Rrn.copy(), prn.copy())
             for b in range(B):
                 for j, i in enumerate(idx[b]):
                     R[i] = _proj(Ra[b] @ Rrn[b, j])
@@ -807,6 +815,7 @@ def run_device_batched(
 
         Rrn = np.asarray(Rr, np.float64)
         prn = np.asarray(pr, np.float64)
+        info["block_rel"] = (idx.copy(), Rrn.copy(), prn.copy())
         for b in range(B):
             Ab = _proj(Ran[b])
             for j, i in enumerate(idx[b]):
@@ -822,7 +831,12 @@ def run_device_batched(
 
 def consensus_scan_edges(idx: np.ndarray, Rr, pr, *,
                          sigma_rot: float = 2e-3, sigma_tr: float = 2e-3,
-                         weight_scale: float = 1.0):
+                         weight_scale: float = 1.0,
+                         init_R=None, init_p=None,
+                         gate_rot: float = 0.05, gate_tr: float = 0.3,
+                         prior_sigma_rot: float = 0.03,
+                         prior_sigma_tr: float = 0.1,
+                         stats: dict | None = None):
     """Consecutive-scan relative-pose edges from batched block solutions.
 
     idx: (B, block) global scan indices per block; Rr/pr: (B, block)
@@ -842,6 +856,18 @@ def consensus_scan_edges(idx: np.ndarray, Rr, pr, *,
     convergence — at the solution the edge residuals sit at the
     intra-block accuracy the measurements came from.
 
+    When init_R/init_p (the global initial trajectory, an odometry-grade
+    prior) are given, each block measurement is GATED against the init
+    relative pose: blocks with locally-degenerate geometry (a corridor
+    section with no along-axis-normal planes leaves per-pose axial
+    translation unconstrained — measured: metre-scale slides on 44 of
+    191 W=1536 blocks, host and device alike) produce measurements that
+    disagree with the init by far more than the init's own drift
+    envelope; those are dropped (gate_rot rad / gate_tr m).  A pair with
+    NO surviving measurement falls back to the init relative pose
+    weighted as a prior (prior_sigma_*) — the standard odometry-prior
+    role, never stronger than the init's believed accuracy.
+
     Returns ops.pose_graph.RelPoseEdges over global scan indices
     (i, i+1: band-compatible with solver/large.damping_iter_large).
     """
@@ -852,6 +878,7 @@ def consensus_scan_edges(idx: np.ndarray, Rr, pr, *,
     pr = np.asarray(pr, np.float64)
     B, blk = idx.shape
     W = int(idx.max()) + 1
+    n_gated = 0
     meas: dict[int, list] = {}
     for b in range(B):
         for j in range(blk - 1):
@@ -860,13 +887,34 @@ def consensus_scan_edges(idx: np.ndarray, Rr, pr, *,
                 continue
             Zr = Rr[b, j].T @ Rr[b, j + 1]
             Zp = Rr[b, j].T @ (pr[b, j + 1] - pr[b, j])
+            if init_R is not None:
+                Zr0 = init_R[i].T @ init_R[i + 1]
+                Zp0 = init_R[i].T @ (init_p[i + 1] - init_p[i])
+                dr = np.linalg.norm(np.asarray(
+                    lie.so3_log(jnp.asarray(Zr0.T @ Zr))))
+                dt = np.linalg.norm(Zp - Zp0)
+                if dr > gate_rot or dt > gate_tr:
+                    n_gated += 1
+                    continue
             meas.setdefault(i, []).append((Zr, Zp))
+    n_prior = 0
+    if init_R is not None:
+        for i in range(W - 1):
+            if i not in meas:
+                n_prior += 1
+                meas[i] = [(init_R[i].T @ init_R[i + 1],
+                            init_R[i].T @ (init_p[i + 1] - init_p[i]),
+                            "prior")]
+    if stats is not None:
+        stats["n_gated_measurements"] = n_gated
+        stats["n_prior_pairs"] = n_prior
     if not meas:
         return None
     li, Zr_l, Zp_l, wr_l, wt_l = [], [], [], [], []
     for i in sorted(meas):
         Ts = meas[i]
-        R0, p0 = Ts[0]
+        prior = len(Ts[0]) == 3
+        R0, p0 = Ts[0][0], Ts[0][1]
         if len(Ts) == 1:
             Rm, pm, sp_r, sp_t = R0, p0, 0.0, 0.0
         else:
@@ -881,11 +929,13 @@ def consensus_scan_edges(idx: np.ndarray, Rr, pr, *,
                 np.asarray(vs) - vbar, axis=-1)))
             Rm = R0 @ np.asarray(lie.so3_exp(jnp.asarray(wbar)))
             pm = p0 + vbar
+        s_r = max(sigma_rot, prior_sigma_rot) if prior else sigma_rot
+        s_t = max(sigma_tr, prior_sigma_tr) if prior else sigma_tr
         li.append(i)
         Zr_l.append(Rm)
         Zp_l.append(pm)
-        wr_l.append(weight_scale / (sigma_rot ** 2 + sp_r ** 2))
-        wt_l.append(weight_scale / (sigma_tr ** 2 + sp_t ** 2))
+        wr_l.append(weight_scale / (s_r ** 2 + sp_r ** 2))
+        wt_l.append(weight_scale / (s_t ** 2 + sp_t ** 2))
     li = np.asarray(li, np.int32)
     return PG.RelPoseEdges(
         i=jnp.asarray(li), j=jnp.asarray(li + 1),
@@ -907,6 +957,7 @@ def run_batched_consensus(
         max_iters=12, u_init=0.01, min_planes_per_pose=0,
         gauge_fix=False),
     polish_solver: SolverConfig = SolverConfig(max_iters=25, u_init=0.01),
+    polish_chunks: int = 1,
     sigma_rot: float = 2e-3,
     sigma_tr: float = 2e-3,
     edge_weight_scale: float = 1.0,
@@ -920,17 +971,26 @@ def run_batched_consensus(
 
       1. overlapping blocks, association + window BA fully vmapped
          on-device (run_device_batched top=False) — local geometry;
-      2. consecutive-scan CONSENSUS edges from the overlapping block
+      2. consecutive-scan CONSENSUS edges from the overlapping PER-BLOCK
          solutions (consensus_scan_edges): agreement across blocks sets
-         the weight, disagreement de-weights the edge;
-      3. ONE global banded solve (solver/banded.py: exact dense-quality
-         steps, linear in W) over plane factors re-associated at the
-         composed poses PLUS the consensus edges.
+         the weight, disagreement de-weights, and measurements that
+         violate the init's drift envelope are gated out (degenerate
+         block geometry — see consensus_scan_edges);
+      3. ONE chunked global banded solve (solver/banded.py: exact
+         dense-quality steps, linear in W) over the plane factors
+         associated at the INIT poses, FROM the init poses, PLUS the
+         edges.
 
+    The blocks serve purely as edge-measurement generators: the landed
+    block composition is NOT used (its overwrite-landing seams carry
+    init-level error, and degenerate blocks corrupt whole sections —
+    polishing from the clean init with the edges is strictly better,
+    measured at W=1536: composed-state polish converged to 3.8x the
+    ground-truth cost, init polish with gated edges goes below it).
     The edges make the anchor-stage multi-modality moot: there is no
     anchor-only solve to basin-hop — the global solve sees every scan,
-    and the consensus edges pin the bending null modes that made the
-    corridor anchor problem multi-modal (ROUND_NOTES round-4 §9).
+    and the edges pin the bending null modes that made the corridor
+    anchor problem multi-modal (ROUND_NOTES round-4 §9).
 
     Returns (R, p, info).
     """
@@ -941,31 +1001,32 @@ def run_batched_consensus(
 
     stride = stride if stride is not None else block // 2
     t0 = _time.perf_counter()
-    Rh, ph, info = run_device_batched(
+    _, _, info = run_device_batched(
         scans, R0, p0, block=block, stride=stride, cycles=cycles,
         voxel=voxel, solver=solver, block_caps=block_caps,
         Gcap_block=Gcap_block, cs_cap_block=cs_cap_block, top=False,
         verbose=verbose)
     info["blocks_s"] = round(_time.perf_counter() - t0, 2)
 
-    # rebuild the block geometry for the edges: run_device_batched
-    # re-anchors each block before landing, so recompute rel poses from
-    # the landed trajectory per block (equivalent and simpler)
-    W = len(scans)
-    starts = list(range(0, max(W - block, 0) + 1, stride))
-    if starts[-1] != W - block:
-        starts.append(W - block)
-    idx = np.stack([np.arange(s, s + block) for s in starts])
-    Ra = Rh[idx[:, 0]]
-    pa = ph[idx[:, 0]]
-    R_rel = np.einsum("bca,bwcd->bwad", Ra, Rh[idx])
-    p_rel = np.einsum("bca,bwc->bwa", Ra, ph[idx] - pa[:, None])
+    # edges come from the PER-BLOCK solutions (info["block_rel"]), NOT
+    # the landed trajectory: landing overwrites overlapping scans (last
+    # block wins), so rel poses recomputed from the landed trajectory
+    # are a single measurement repeated per block — consensus spread
+    # collapses to ~0, weights blow up to ws/sigma^2, and the edges pin
+    # the composition error (~0.13 m/scan at W=1536) instead of the
+    # block accuracy.  The pre-composition block solutions are genuinely
+    # independent measurements; the init trajectory gates them.
+    idx, R_rel, p_rel = info.pop("block_rel")
     t0 = _time.perf_counter()
+    gate_stats: dict = {}
     edges = consensus_scan_edges(
         idx, R_rel, p_rel, sigma_rot=sigma_rot, sigma_tr=sigma_tr,
-        weight_scale=edge_weight_scale)
+        weight_scale=edge_weight_scale,
+        init_R=np.asarray(R0, np.float64),
+        init_p=np.asarray(p0, np.float64), stats=gate_stats)
     info["edges_s"] = round(_time.perf_counter() - t0, 2)
     info["n_edges"] = 0 if edges is None else int(edges.i.shape[0])
+    info.update(gate_stats)
     # hand the edges back to the caller: they are real measurements
     # (intra-block relative accuracy, spread-weighted) and stay valid
     # for any later re-associated refine — dropping them there re-opens
@@ -974,25 +1035,39 @@ def run_batched_consensus(
     info["edges"] = edges
 
     t0 = _time.perf_counter()
-    vres = grid.voxelize(scans, Rh, ph, voxel, dtype=np.float64)
+    vres = grid.voxelize(scans, R0, p0, voxel, dtype=np.float64)
     fr = Fmod.recenter_bodies(vres.factors).astype(jnp.float32)
     wf = jax.tree_util.tree_map(jnp.asarray, FW.from_dense(fr))
     info["polish_assoc_s"] = round(_time.perf_counter() - t0, 2)
     info["polish_planes"] = int(vres.num_planes)
     info["polish_span"] = int(wf.span)
+    Rh, ph = np.asarray(R0, np.float64), np.asarray(p0, np.float64)
 
     if edges is not None:
         edges = jax.tree_util.tree_map(
             lambda x: (x.astype(jnp.float32)
                        if x.dtype in (jnp.float64, jnp.float32) else x),
             edges)
+    # chunked polish: the tunneled TPU worker dies on single dispatches
+    # past ~60 s, which caps one banded LM call at ~30 iterations at
+    # W=1536 — warm-restart `polish_chunks` calls instead (a restart
+    # resets the damping walk; costs a few rejected iterations)
     t0 = _time.perf_counter()
-    res = large_mod.damping_iter_large(
-        jnp.asarray(Rh, jnp.float32), jnp.asarray(ph, jnp.float32),
-        wf, polish_solver, linear_solver="banded", edges=edges)
-    Rf = np.asarray(res.R, np.float64)
-    pf = np.asarray(res.p, np.float64)
+    Rc = jnp.asarray(Rh, jnp.float32)
+    pc = jnp.asarray(ph, jnp.float32)
+    tot_iters = 0
+    res = None
+    for _ in range(max(1, polish_chunks)):
+        res = large_mod.damping_iter_large(
+            Rc, pc, wf, polish_solver, linear_solver="banded",
+            edges=edges)
+        tot_iters += int(res.iters)
+        Rc, pc = res.R, res.p
+        if int(res.iters) < polish_solver.max_iters:
+            break
+    Rf = np.asarray(Rc, np.float64)
+    pf = np.asarray(pc, np.float64)
     info["polish_solve_s"] = round(_time.perf_counter() - t0, 2)
-    info["polish_iters"] = int(res.iters)
+    info["polish_iters"] = tot_iters
     info["polish_residual"] = float(res.residual)
     return Rf, pf, info

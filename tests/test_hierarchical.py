@@ -269,3 +269,61 @@ def test_run_device_batched_refines():
         *_lie.gauge_fix(jnp.asarray(R1), jnp.asarray(p1)), Rg, pg)
     assert float(r1) < 0.2 * float(r0), (float(r1), float(r0))
     assert float(t1) < 0.2 * float(t0), (float(t1), float(t0))
+
+
+def test_consensus_edges_gate_degenerate_blocks():
+    """Block measurements that violate the init's drift envelope are
+    gated out and replaced by the init prior at prior weight (the
+    degenerate-block failure: a corridor section with no along-axis
+    planes lets per-pose axial translation slide metres — measured on
+    44/191 W=1536 blocks, host and device alike)."""
+    rng = np.random.default_rng(0)
+    W, blk = 12, 4
+    R_init = np.stack([np.eye(3)] * W)
+    p_init = np.cumsum(rng.normal(0, 0.01, (W, 3)), axis=0)
+    idx = np.stack([np.arange(s, s + blk) for s in (0, 2, 4, 6, 8)])
+    B = len(idx)
+    Rr = np.stack([R_init[i] for i in idx])
+    pr = np.stack([p_init[i] - p_init[i[0]] for i in idx])
+    # corrupt block 2 with a metre-scale slide (degenerate geometry)
+    pr[2, 2:] += np.array([2.0, 0.0, 0.0])
+    stats = {}
+    edges = hierarchical.consensus_scan_edges(
+        idx, Rr, pr, weight_scale=1e-3, init_R=R_init, init_p=p_init,
+        stats=stats)
+    assert stats["n_gated_measurements"] >= 1
+    # every consecutive pair still has an edge (prior fallback)
+    assert int(edges.i.shape[0]) == W - 1
+    # no edge carries the corrupted 2 m measurement
+    Zp = np.asarray(edges.Zp)
+    Zp_init = np.stack([
+        R_init[i].T @ (p_init[i + 1] - p_init[i]) for i in range(W - 1)])
+    assert np.all(np.linalg.norm(Zp - Zp_init, axis=-1) < 0.5)
+    # prior-fallback pairs are weighted as a prior, not a measurement
+    w_tr = np.asarray(edges.w_tr)
+    if stats["n_prior_pairs"]:
+        assert w_tr.min() <= 1e-3 / (0.1 ** 2) * 1.001
+
+
+def test_run_batched_consensus_recovers():
+    """Blocks -> gated consensus edges -> banded polish from the init
+    must recover a drift-perturbed trajectory (the round-5 large-W
+    production path; the W=1536 TPU run lands at 1.07x the ground-truth
+    cost with this machinery, artifacts/hba_tpu_large_w1536.json)."""
+    R_gt, p_gt, scans = make_long_scene(W=24, n_planes=30, pts_per=100,
+                                        seed=6)
+    R0, p0 = perturb_drift(R_gt, p_gt, seed=7)
+    R1, p1, info = hierarchical.run_batched_consensus(
+        scans, R0, p0, block=8, cycles=1,
+        block_caps=(1 << 8, 1 << 10, 1 << 12), Gcap_block=512,
+        cs_cap_block=1 << 13,
+        polish_solver=SolverConfig(max_iters=25, u_init=0.01),
+        polish_chunks=2)
+    assert info["n_edges"] == 23
+    Rg, pg = lie.gauge_fix(jnp.asarray(R_gt), jnp.asarray(p_gt))
+    r0, t0 = metrics.pose_rsme(
+        *lie.gauge_fix(jnp.asarray(R0), jnp.asarray(p0)), Rg, pg)
+    r1, t1 = metrics.pose_rsme(
+        *lie.gauge_fix(jnp.asarray(R1), jnp.asarray(p1)), Rg, pg)
+    assert float(r1) < 0.3 * float(r0), (float(r1), float(r0))
+    assert float(t1) < 0.3 * float(t0), (float(t1), float(t0))
