@@ -15,6 +15,7 @@ Run: python scripts/hba_tpu_large.py [W]
 """
 
 import json
+import os
 import pathlib
 import subprocess
 import sys
@@ -235,17 +236,37 @@ def main(W=1024):
         edges_h = jax.tree_util.tree_map(
             lambda x: (jnp.asarray(x, jnp.float32)
                        if np.asarray(x).dtype.kind == "f" else x), edges_h)
+    # Re-associate + refine ROUNDS (round-5: one round converges to its
+    # own re-associated optimum but leaves association error — at
+    # W=2048 a single round lands at 1.22x the init-set gt cost; the
+    # 2nd round's better planes pull it further.  Edges stay in every
+    # round (halving the anneal per round as trust in geometry grows).
+    refine_rounds = int(os.environ.get("HBA_REFINE_ROUNDS", "2"))
     t0 = time.perf_counter()
-    vres_h = grid.voxelize(scans, Rh, ph, vcfg, dtype=np.float64)
-    fr_h = Fmod.recenter_bodies(vres_h.factors).astype(jnp.float32)
-    wf_h = jax.tree_util.tree_map(jnp.asarray, FW.from_dense(fr_h))
-    rres, rit = banded_solve(jnp.asarray(Rh, jnp.float32),
-                             jnp.asarray(ph, jnp.float32), wf_h,
-                             max_iters=40, chunks=3, edges=edges_h)
-    sync.fetch_scalar(rres.residual)
+    Rh2, ph2 = np.asarray(Rh, np.float64), np.asarray(ph, np.float64)
+    rit = 0
+    round_costs = []
+    ann = anneal
+    for rnd in range(refine_rounds):
+        vres_h = grid.voxelize(scans, Rh2, ph2, vcfg, dtype=np.float64)
+        fr_h = Fmod.recenter_bodies(vres_h.factors).astype(jnp.float32)
+        wf_h = jax.tree_util.tree_map(jnp.asarray, FW.from_dense(fr_h))
+        er = edges_h
+        if er is not None and rnd > 0:
+            er = er._replace(w_rot=er.w_rot * 0.5 ** rnd,
+                             w_tr=er.w_tr * 0.5 ** rnd)
+            ann = anneal * 0.5 ** rnd
+        rres, it_r = banded_solve(jnp.asarray(Rh2, jnp.float32),
+                                  jnp.asarray(ph2, jnp.float32), wf_h,
+                                  max_iters=40, chunks=3, edges=er)
+        sync.fetch_scalar(rres.residual)
+        rit += it_r
+        Rh2 = np.asarray(rres.R, np.float64)
+        ph2 = np.asarray(rres.p, np.float64)
+        round_costs.append(host_cost(vres0.factors, Rh2, ph2))
+        print(f"refine round {rnd}: iters {it_r} "
+              f"cost(init-set) {round_costs[-1]:.3f}", flush=True)
     t_refine = time.perf_counter() - t0
-    Rh2 = np.asarray(rres.R, np.float64)
-    ph2 = np.asarray(rres.p, np.float64)
     out["hier_consensus"] = {
         "blocks_edges_polish_s": round(t_cons, 2),
         "refine_s": round(t_refine, 2),
@@ -254,6 +275,8 @@ def main(W=1024):
         "timings": hinfo.get("timings"),
         "overflow": hinfo.get("overflow"),
         "refine_iters": rit,
+        "refine_rounds": refine_rounds,
+        "refine_round_costs": [round(c, 3) for c in round_costs],
         "refine_edge_anneal": anneal,
         "polish_iters": hinfo.get("polish_iters"),
         "n_gated_measurements": hinfo.get("n_gated_measurements"),
@@ -303,6 +326,9 @@ def main(W=1024):
         "cost + RPE together (CLAUDE.md: never ATE alone, and past "
         "W~1024 never cost alone either).")
 
+    np.savez_compressed(
+        ROOT / "artifacts" / f"hba_tpu_large_w{W}_poses.npz",
+        R_hier=Rh2, p_hier=ph2, R_gt=R_gt, p_gt=p_gt, R0=R0, p0=p0)
     with open(ROOT / "artifacts" / f"hba_tpu_large_w{W}.json", "w") as fh:
         json.dump(out, fh, indent=2)
     print(json.dumps(out, indent=2))

@@ -89,20 +89,71 @@ def perturb_drift(R, p, seed, rot_deg, trans):
 
 # ---------------------------------------------------------------- scenes
 
-def scene_consistency_dense(seed=0):
-    """Reference simulator dataset at full density + pnoise corruption
-    (consistency.cpp:96-123 data path; the curve protocol replaces the
-    NEES estimator with the Supplementary method comparison)."""
+def scene_consistency_dense(seed=0, vis=5.0):
+    """The reference simulator's TRAJECTORY (datas/consistency: 101
+    poses over a 25x17 m sweep, consistency.cpp:96-123 data path)
+    re-rendered against a DENSE environment at realworld point counts.
+    The simulator's own 16-plane room yields G~100 planes — too sparse
+    for a convergence benchmark (the drift-associated cost dips BELOW
+    the gt cost: the problem is underdetermined, measured this round) —
+    so the curve scene keeps the trajectory + the protocol's N(0, 0.02)
+    point corruption (consistency.launch pnoise) and renders wall /
+    floor / ceiling patches on a 2 m grid instead (~1.1M points,
+    realworld-class)."""
     from balm_tpu.pipelines import consistency as cons
 
     cfg = cons.ConsistencyConfig()
-    R_gt, p_gt, scans = cons.load(cfg)
+    R_gt, p_gt, _ = cons.load(cfg)
+    R_gt, p_gt = np.asarray(R_gt), np.asarray(p_gt)
     rng = np.random.default_rng(seed)
-    scans = [s + rng.normal(0.0, cfg.pnoise, size=s.shape) for s in scans]
+
+    lo = p_gt.min(0)[:2] - 2.0
+    hi = p_gt.max(0)[:2] + 2.0
+    centers, normals = [], []
+
+    def add(c, axis):
+        # TILTED normals (axis-biased, up to ~25 deg off): a first cut
+        # with purely axis-aligned normals left metre-scale slide modes
+        # — every method dove below the gt cost while ATE exploded
+        # (measured this round); tilt couples all translation axes.
+        n = np.eye(3)[axis] + rng.normal(0, 0.35, 3)
+        centers.append(c)
+        normals.append(n / np.linalg.norm(n))
+
+    xs = np.arange(lo[0], hi[0], 2.0)
+    ys = np.arange(lo[1], hi[1], 2.0)
+    for x in xs:
+        for y in ys:
+            jx, jy = rng.uniform(-0.4, 0.4, 2)
+            add([x + jx, y + jy, rng.uniform(0.4, 1.8)],
+                int(rng.integers(0, 2)))
+            add([x + jy, y + jx, 0.0], 2)
+            if rng.uniform() < 0.3:
+                add([x, y, 3.0], 2)
+    centers = np.asarray(centers, float)
+    normals = np.asarray(normals, float)
+    # per-patch in-plane basis
+    up = np.where(np.abs(normals[:, 2:3]) < 0.9,
+                  np.array([[0.0, 0.0, 1.0]]), np.array([[1.0, 0.0, 0.0]]))
+    e1 = np.cross(normals, up)
+    e1 /= np.linalg.norm(e1, axis=1, keepdims=True)
+    e2 = np.cross(normals, e1)
+
+    pts_per = 260                       # -> ~1.1M points over W=101
+    scans = []
+    for w in range(len(p_gt)):
+        near = np.linalg.norm(centers[:, :2] - p_gt[w][:2], axis=1) < vis
+        pts = []
+        for g in np.nonzero(near)[0]:
+            uv = rng.uniform(-0.45, 0.45, size=(pts_per, 2))
+            th = rng.normal(0, 0.004, size=(pts_per, 1))
+            world = (centers[g] + uv[:, :1] * e1[g] + uv[:, 1:] * e2[g]
+                     + th * normals[g])
+            pts.append((world - p_gt[w]) @ R_gt[w])
+        body = (np.concatenate(pts) if pts else np.zeros((0, 3)))
+        scans.append(body + rng.normal(0.0, cfg.pnoise, size=body.shape))
     R0, p0 = perturb_drift(R_gt, p_gt, seed + 1, rot_deg=1.0, trans=0.08)
-    vcfg = VoxelConfig(voxel_size=1.0, layer_limit=0,
-                       eigen_ratio=(1.0 / 64,), min_points=10,
-                       min_observers=2)
+    vcfg = VoxelConfig(voxel_size=1.0, min_observers=2)
     return R0, p0, scans, vcfg, (R_gt, p_gt)
 
 
@@ -125,6 +176,13 @@ def scene_city(seed=0, W=177):
 
 
 SCENES = {"consistency_dense": scene_consistency_dense, "city": scene_city}
+
+# per-scene budget for the two methods whose cost is dominated by
+# protocol constants (EF: fixed gradient-iteration count ~7 s/iter at
+# this scale; BALM1: recorded-subset per-point Hessian).  The ORDERING
+# is decided long before these caps (city: EF moved 906->278 in its
+# first 100 of 400 iters; BALM1's subset converges in <=16).
+SCENE_BUDGET = {"consistency_dense": {"ef_iters": 120, "balm1_topg": 256}}
 
 
 # ------------------------------------------------------------- problem
@@ -183,7 +241,11 @@ def build_balm1_subset(scans, R0, p0, vcfg, max_scans=30, top_g=512,
 
 # ------------------------------------------------------------- protocol
 
-def run_scene(name, seed=0):
+def run_scene(name, seed=0, only=None):
+    """`only`: optional set of method keys ('balm2', 'bareg', 'pa',
+    'ef', 'balm1') to (re)run; others keep their recorded summary rows.
+    The summary is merged + rewritten after EVERY method so a killed
+    run never loses completed curves."""
     R0, p0, scans, vcfg, (R_gt, p_gt) = SCENES[name](seed)
     W = len(scans)
     n_pts = int(sum(len(s) for s in scans))
@@ -236,6 +298,16 @@ def run_scene(name, seed=0):
                            "ground truth known -> per-method aligned ATE "
                            "recorded",
                "methods": {}}
+    spath = outdir / "summary.json"
+    if spath.exists():                 # keep rows not being re-run
+        summary["methods"].update(json.load(open(spath))["methods"])
+
+    def flush_summary():
+        with open(spath, "w") as fh:
+            json.dump(summary, fh, indent=1)
+
+    def want(m):
+        return only is None or m in only
 
     # max_iters=100: the realworld problem converges in 4-5 accepted
     # iterations but the drift-perturbed synthetic scenes need ~60 (the
@@ -245,6 +317,8 @@ def run_scene(name, seed=0):
             (4, "4_balm2", "BALM2", R0j, p0j, f_cen),
             (5, "5_balm2_f32", "BALM2-f32", R0j.astype(jnp.float32),
              p0j.astype(jnp.float32), f_cen.astype(jnp.float32))):
+        if not want("balm2"):
+            continue
         res_t, t_iter = lm.damping_iter_timed(Rj, pj, fj, scfg,
                                               centered=True)
         n = int(res_t.iters)
@@ -264,26 +338,41 @@ def run_scene(name, seed=0):
             "ate_deg_m": ate}
         print(f"{lab:12s} final {costs[-1]:10.3f} @ {ts[-1]:8.2f} s "
               f"ATE {ate}", flush=True)
+        flush_summary()
 
-    tr = []
-    t0 = time.perf_counter()
-    bareg.solve_gn(R0, p0, f_raw, outer_iters=40, trace=tr)
-    summary["methods"]["3_bareg"] = write_curve(3, t0, tr, "BAREG")
+    if want("bareg"):
+        tr = []
+        t0 = time.perf_counter()
+        bareg.solve_gn(R0, p0, f_raw, outer_iters=40, trace=tr)
+        summary["methods"]["3_bareg"] = write_curve(3, t0, tr, "BAREG")
+        flush_summary()
 
-    tr = []
-    t0 = time.perf_counter()
-    pa_whitened.solve_schur(R0, p0, f_raw, max_iters=80, trace=tr)
-    summary["methods"]["2_pa"] = write_curve(2, t0, tr, "PA")
+    if want("pa"):
+        tr = []
+        t0 = time.perf_counter()
+        pa_whitened.solve_schur(R0, p0, f_raw, max_iters=80, trace=tr)
+        summary["methods"]["2_pa"] = write_curve(2, t0, tr, "PA")
+        flush_summary()
 
-    tr = []
-    t0 = time.perf_counter()
-    ef.descend(R0j, p0j, f_raw, max_iters=400, trace=tr, grad_only=True)
-    summary["methods"]["0_ef"] = write_curve(0, t0, tr, "EF")
+    budget = SCENE_BUDGET.get(name, {})
+    if want("ef"):
+        tr = []
+        t0 = time.perf_counter()
+        ef.descend(R0j, p0j, f_raw,
+                   max_iters=budget.get("ef_iters", 400), trace=tr,
+                   grad_only=True)
+        summary["methods"]["0_ef"] = write_curve(0, t0, tr, "EF")
+        flush_summary()
+
+    if not want("balm1"):
+        flush_summary()
+        print(f"wrote {outdir}", flush=True)
+        return
 
     # BALM1: recorded-subset protocol (per-point pairwise Hessian is
     # O((W*K)^2)/plane; see realworld_curves.run_balm1_subset)
     Rs, ps, f_sub, pf, n_over, Gs, Gsub = build_balm1_subset(
-        scans, R0, p0, vcfg)
+        scans, R0, p0, vcfg, top_g=budget.get("balm1_topg", 512))
     f_sub_cen = Fmod.recenter_bodies(f_sub)
     sub_score = jax.jit(lambda R, p: Fmod.residual_only(
         lie.pose_matrix(R, p), f_sub_cen, centered=True))
@@ -309,10 +398,11 @@ def run_scene(name, seed=0):
     print(f"{'BALM1':12s} final {pts[-1][1]:10.3f} @ {pts[-1][0]:8.2f} s",
           flush=True)
 
-    with open(outdir / "summary.json", "w") as fh:
-        json.dump(summary, fh, indent=1)
+    flush_summary()
     print(f"wrote {outdir}", flush=True)
 
 
 if __name__ == "__main__":
-    run_scene(sys.argv[1] if len(sys.argv) > 1 else "city")
+    _name = sys.argv[1] if len(sys.argv) > 1 else "city"
+    _only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    run_scene(_name, only=_only)
