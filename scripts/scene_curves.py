@@ -312,7 +312,13 @@ def run_scene(name, seed=0, only=None):
     # max_iters=100: the realworld problem converges in 4-5 accepted
     # iterations but the drift-perturbed synthetic scenes need ~60 (the
     # city run stalled at 30 with cost 56.6 vs the converged 42.9)
-    scfg = SolverConfig(max_iters=100, rel_tol=1e-10, min_planes_per_pose=0)
+    # ulp_tol=8 (default 128): the f32 ULP stopping floor exists so NEES
+    # seeds don't dither to the iteration cap, but at 128 it can end a
+    # slowly-converging curve run on one small accepted step (measured
+    # on consistency_dense: f32 stopped at 59.1 with 1.7 cost left);
+    # curves are bounded by max_iters, so the floor can sit much lower.
+    scfg = SolverConfig(max_iters=100, rel_tol=1e-10,
+                        min_planes_per_pose=0, ulp_tol=8.0)
     for idx, key, lab, Rj, pj, fj in (
             (4, "4_balm2", "BALM2", R0j, p0j, f_cen),
             (5, "5_balm2_f32", "BALM2-f32", R0j.astype(jnp.float32),
