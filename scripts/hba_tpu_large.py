@@ -247,6 +247,12 @@ def main(W=1024):
     rit = 0
     round_costs = []
     ann = anneal
+    # best-state selection on the common init-set cost: a re-associated
+    # refine round can slide along the corridor null mode (measured at
+    # W=1536: polish 135.2 -> round0 137.2 -> round1 142.0) — keep the
+    # best state seen and stop refining once a round degrades it.
+    best_cost = host_cost(vres0.factors, Rh2, ph2)
+    best_Rp = (Rh2, ph2)
     for rnd in range(refine_rounds):
         vres_h = grid.voxelize(scans, Rh2, ph2, vcfg, dtype=np.float64)
         fr_h = Fmod.recenter_bodies(vres_h.factors).astype(jnp.float32)
@@ -266,6 +272,12 @@ def main(W=1024):
         round_costs.append(host_cost(vres0.factors, Rh2, ph2))
         print(f"refine round {rnd}: iters {it_r} "
               f"cost(init-set) {round_costs[-1]:.3f}", flush=True)
+        if round_costs[-1] < best_cost:
+            best_cost = round_costs[-1]
+            best_Rp = (Rh2, ph2)
+        else:
+            break                       # null-mode slide — stop refining
+    Rh2, ph2 = best_Rp
     t_refine = time.perf_counter() - t0
     out["hier_consensus"] = {
         "blocks_edges_polish_s": round(t_cons, 2),
